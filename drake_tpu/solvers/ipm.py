@@ -1,0 +1,185 @@
+"""Dense primal-dual interior-point QP solver (Mehrotra predictor-corrector).
+
+The robustness backbone of the SQP stack.  The reference gets this robustness
+from commercial/host solvers (SNOPT's QP core, OSQP, Mosek — reference:
+solvers/).  On TPU we want a solver whose cost is a fixed, small number of
+dense KKT factorizations — conditioning-insensitive (unlike first-order ADMM)
+and fully batchable under vmap, so thousands of QPs solve in parallel on the
+MXU.
+
+    minimize    0.5 w'Pw + q'w
+    subject to  G w = b
+                lb <= w <= ub     (entries may be +-inf; handled by masks)
+
+KKT system (masked bounds; sl, su slacks and zl, zu >= 0 duals):
+
+    P w + q + G'y - zl + zu = 0
+    G w - b                 = 0
+    w - lb - sl             = 0        (rows with finite lb)
+    ub - w - su             = 0        (rows with finite ub)
+    sl.zl = mu_t,  su.zu = mu_t
+
+Newton reduction:  dsl = dw + rl,  dsu = -dw + ru,
+    dzl = (rhs_l - zl*dsl)/sl,  dzu = (rhs_u - zu*dsu)/su,
+    rhs_l = mu_t - sl*zl - corr_l  (corr from Mehrotra's second-order term)
+giving the quasidefinite system
+
+    [[P + diag(zl/sl + zu/su), G'], [G, -reg I]] [dw, dy] = [-rd_bar, -rp]
+    rd_bar = rd - (rhs_l - zl*rl)/sl + (rhs_u - zu*ru)/su
+
+Infinite bounds are masked: their slacks pin to 1, duals to 0, contributing
+nothing.  Iterations run under ``lax.while_loop`` with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class IpmOptions:
+    max_iters: int = 30
+    tol: float = 1e-9
+    tau: float = 0.995  # fraction-to-boundary
+    kkt_reg: float = 1e-9  # static regularization of the KKT system
+
+
+class IpmSolution(NamedTuple):
+    w: jnp.ndarray
+    y: jnp.ndarray  # equality duals
+    z_lower: jnp.ndarray  # duals for w >= lb (>= 0)
+    z_upper: jnp.ndarray  # duals for w <= ub (>= 0)
+    iterations: jnp.ndarray
+    residual: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def solve_qp_ipm(
+    P, q, G, b, lb, ub, options: IpmOptions = IpmOptions()
+) -> IpmSolution:
+    """Solve the box/equality QP.  jit/vmap friendly; all shapes static."""
+    opts = options
+    dtype = q.dtype
+    n = q.shape[0]
+    m = b.shape[0]
+
+    has_lb = jnp.isfinite(lb)
+    has_ub = jnp.isfinite(ub)
+    ml = has_lb.astype(dtype)
+    mub = has_ub.astype(dtype)
+    n_bounds = jnp.maximum(jnp.sum(ml) + jnp.sum(mub), 1.0)
+    lb_safe = jnp.where(has_lb, lb, 0.0)
+    ub_safe = jnp.where(has_ub, ub, 0.0)
+
+    # Initial interior point.
+    w = jnp.zeros(n, dtype)
+    w = jnp.where(jnp.logical_and(has_lb, has_ub), 0.5 * (lb_safe + ub_safe), w)
+    w = jnp.where(jnp.logical_and(has_lb, ~has_ub), lb_safe + 1.0, w)
+    w = jnp.where(jnp.logical_and(~has_lb, has_ub), ub_safe - 1.0, w)
+    sl = jnp.where(has_lb, jnp.maximum(w - lb_safe, 1.0), 1.0)
+    su = jnp.where(has_ub, jnp.maximum(ub_safe - w, 1.0), 1.0)
+    zl = ml * 1.0
+    zu = mub * 1.0
+    y = jnp.zeros(m, dtype)
+
+    I_n = jnp.eye(n, dtype=dtype)
+    I_m = jnp.eye(m, dtype=dtype)
+
+    def residuals(w, y, zl, zu, sl, su):
+        rd = P @ w + q + G.T @ y - zl + zu
+        rp = G @ w - b
+        rl = ml * (w - lb_safe - sl)
+        ru = mub * (ub_safe - w - su)
+        return rd, rp, rl, ru
+
+    def body(state):
+        w, y, zl, zu, sl, su, it, _, _ = state
+        rd, rp, rl, ru = residuals(w, y, zl, zu, sl, su)
+        mu = (jnp.sum(sl * zl) + jnp.sum(su * zu)) / n_bounds
+
+        D = ml * zl / sl + mub * zu / su
+        K = jnp.block(
+            [
+                [P + jnp.diag(D) + opts.kkt_reg * I_n, G.T],
+                [G, -opts.kkt_reg * I_m],
+            ]
+        )
+        K_lu = jax.scipy.linalg.lu_factor(K)
+
+        def solve_dir(rhs_l, rhs_u):
+            rd_bar = (
+                rd
+                - ml * (rhs_l - zl * rl) / sl
+                + mub * (rhs_u - zu * ru) / su
+            )
+            sol = jax.scipy.linalg.lu_solve(K_lu, jnp.concatenate([-rd_bar, -rp]))
+            dw, dy = sol[:n], sol[n:]
+            dsl = ml * (dw + rl)
+            dsu = mub * (-dw + ru)
+            dzl = ml * (rhs_l - zl * dsl) / sl
+            dzu = mub * (rhs_u - zu * dsu) / su
+            return dw, dy, dsl, dsu, dzl, dzu
+
+        def max_step(v, dv, mask):
+            ratio = jnp.where(
+                jnp.logical_and(mask > 0, dv < 0),
+                -opts.tau * v / jnp.minimum(dv, -1e-30),
+                1.0,
+            )
+            return jnp.minimum(1.0, jnp.min(ratio))
+
+        # Predictor (affine): mu_t = 0, no second-order correction.
+        aff = solve_dir(-sl * zl, -su * zu)
+        dw_a, dy_a, dsl_a, dsu_a, dzl_a, dzu_a = aff
+        a_p = jnp.minimum(max_step(sl, dsl_a, ml), max_step(su, dsu_a, mub))
+        a_d = jnp.minimum(max_step(zl, dzl_a, ml), max_step(zu, dzu_a, mub))
+        mu_aff = (
+            jnp.sum(ml * (sl + a_p * dsl_a) * (zl + a_d * dzl_a))
+            + jnp.sum(mub * (su + a_p * dsu_a) * (zu + a_d * dzu_a))
+        ) / n_bounds
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+        mu_t = sigma * mu
+
+        # Corrector with Mehrotra second-order terms.
+        dw, dy, dsl, dsu, dzl, dzu = solve_dir(
+            mu_t - sl * zl - dsl_a * dzl_a, mu_t - su * zu - dsu_a * dzu_a
+        )
+        a_p = jnp.minimum(max_step(sl, dsl, ml), max_step(su, dsu, mub))
+        a_d = jnp.minimum(max_step(zl, dzl, ml), max_step(zu, dzu, mub))
+        alpha = jnp.minimum(a_p, a_d)
+
+        w = w + alpha * dw
+        y = y + alpha * dy
+        sl = jnp.where(has_lb, sl + alpha * dsl, 1.0)
+        su = jnp.where(has_ub, su + alpha * dsu, 1.0)
+        zl = jnp.where(has_lb, zl + alpha * dzl, 0.0)
+        zu = jnp.where(has_ub, zu + alpha * dzu, 0.0)
+
+        rd, rp, _, _ = residuals(w, y, zl, zu, sl, su)
+        mu_new = (jnp.sum(sl * zl) + jnp.sum(su * zu)) / n_bounds
+        scale = 1.0 + jnp.maximum(
+            jnp.linalg.norm(q, ord=jnp.inf), jnp.linalg.norm(b, ord=jnp.inf)
+        )
+        res = (
+            jnp.maximum(
+                jnp.linalg.norm(rd, ord=jnp.inf), jnp.linalg.norm(rp, ord=jnp.inf)
+            )
+            / scale
+        )
+        done = jnp.logical_and(res <= opts.tol, mu_new <= opts.tol * scale)
+        return (w, y, zl, zu, sl, su, it + 1, res, done)
+
+    def cond(state):
+        _, _, _, _, _, _, it, _, done = state
+        return jnp.logical_and(~done, it < opts.max_iters)
+
+    inf = jnp.asarray(jnp.inf, dtype)
+    state = (w, y, zl, zu, sl, su, jnp.array(0), inf, jnp.array(False))
+    w, y, zl, zu, sl, su, it, res, done = jax.lax.while_loop(cond, body, state)
+    return IpmSolution(
+        w=w, y=y, z_lower=zl, z_upper=zu, iterations=it, residual=res, converged=done
+    )

@@ -1,0 +1,120 @@
+"""LQR family tests against reference semantics.
+
+Mirrors systems/controllers/test/linear_quadratic_regulator_test.cc and
+finite_horizon_linear_quadratic_regulator_test.cc: double-integrator closed
+forms, stabilization of nonlinear plants, and convergence of the
+finite-horizon solution to the infinite-horizon one.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drake_tpu.control import lqr as lqr_mod
+from drake_tpu.models import acrobot, cart_pole, quadrotor
+from drake_tpu.systems import simulator
+
+F64 = jnp.float64
+
+
+class TestLqr:
+    def test_double_integrator_closed_form(self):
+        """Known LQR solution for the double integrator (Q=I, R=I):
+        S = [[sqrt(3), 1], [1, sqrt(3)]], K = [1, sqrt(3)]."""
+        A = jnp.array([[0.0, 1.0], [0.0, 0.0]])
+        B = jnp.array([[0.0], [1.0]])
+        res = lqr_mod.lqr(A, B, jnp.eye(2), jnp.eye(1))
+        s3 = np.sqrt(3.0)
+        np.testing.assert_allclose(res.S, [[s3, 1], [1, s3]], atol=1e-7)
+        np.testing.assert_allclose(res.K, [[1.0, s3]], atol=1e-7)
+
+    def test_discrete_lqr_stabilizes(self):
+        rng = np.random.default_rng(0)
+        A = jnp.asarray(rng.normal(size=(4, 4)))
+        B = jnp.asarray(rng.normal(size=(4, 2)))
+        res = lqr_mod.discrete_lqr(A, B, jnp.eye(4), jnp.eye(2))
+        eigs = np.linalg.eigvals(np.asarray(A - B @ res.K))
+        assert np.all(np.abs(eigs) < 1.0)
+
+    def test_acrobot_balancing(self):
+        """LQR balances the acrobot upright from a small perturbation
+        (mirror of examples/acrobot/run_lqr.cc)."""
+        system = acrobot.make_system(acrobot.default_params(F64))
+        p = system.default_params
+        xu = acrobot.upright_state(F64)
+        u0 = jnp.zeros(1, dtype=F64)
+        Q = jnp.diag(jnp.array([10.0, 10.0, 1.0, 1.0], dtype=F64))
+        R = jnp.eye(1, dtype=F64)
+        res = lqr_mod.lqr_for_system(system, p, xu, u0, Q, R)
+        policy = lambda _, x, t: u0 - res.K @ (x - xu)
+        x_init = xu + jnp.array([0.05, -0.05, 0.0, 0.0], dtype=F64)
+        xs, _, _ = simulator.simulate_controlled(system, p, x_init, policy, 8000, 1e-3)
+        assert float(jnp.linalg.norm(xs[-1] - xu)) < 1e-4
+
+    def test_quadrotor_hover_lqr(self):
+        """Mirror of examples/quadrotor/run_quadrotor_lqr.cc: stabilize hover."""
+        system = quadrotor.make_system(quadrotor.default_params(F64))
+        p = system.default_params
+        x0 = jnp.zeros(12, dtype=F64)
+        u0 = quadrotor.hover_input(p)
+        Q = jnp.diag(jnp.concatenate([10 * jnp.ones(6), jnp.ones(6)]).astype(F64))
+        R = 0.1 * jnp.eye(4, dtype=F64)
+        res = lqr_mod.lqr_for_system(system, p, x0, u0, Q, R)
+        policy = lambda _, x, t: u0 - res.K @ (x - x0)
+        x_init = x0.at[0].set(0.5).at[4].set(0.1)
+        xs, _, _ = simulator.simulate_controlled(system, p, x_init, policy, 6000, 1e-3)
+        assert float(jnp.linalg.norm(xs[-1])) < 1e-5
+
+
+class TestFiniteHorizonLqr:
+    def test_converges_to_infinite_horizon(self):
+        """S(t0) of a long horizon matches the CARE solution (reference
+        finite_horizon_linear_quadratic_regulator_test.cc idiom)."""
+        from drake_tpu.systems.base import ContinuousSystem
+
+        A = jnp.array([[0.0, 1.0], [0.0, 0.0]])
+        B = jnp.array([[0.0], [1.0]])
+
+        def f(params, x, u, t):
+            return A @ x + B @ u
+
+        system = ContinuousSystem(f=f, num_states=2, num_inputs=1)
+        Q = jnp.eye(2, dtype=F64)
+        R = jnp.eye(1, dtype=F64)
+        res_inf = lqr_mod.lqr(A.astype(F64), B.astype(F64), Q, R)
+        res_fh = lqr_mod.finite_horizon_lqr(
+            system, None, Q, R, t0=0.0, tf=20.0, num_steps=2000, Qf=res_inf.S * 0.0
+        )
+        np.testing.assert_allclose(res_fh.S[0], res_inf.S, atol=1e-3)
+        np.testing.assert_allclose(res_fh.K[0], res_inf.K, atol=1e-3)
+
+    def test_tvlqr_tracks_pendulum_trajectory(self):
+        """TV-LQR stabilizes a passive pendulum trajectory under perturbation."""
+        from drake_tpu.models import pendulum
+
+        system = pendulum.make_system(pendulum.default_params(F64))
+        p = system.default_params
+        dt = 1e-2
+        n = 200
+        x0 = jnp.array([1.2, 0.0], dtype=F64)
+        us = jnp.zeros((n, 1), dtype=F64)
+        xs_nom, ts = simulator.simulate(system, p, x0, us, dt)
+
+        Q = jnp.eye(2, dtype=F64)
+        R = 0.1 * jnp.eye(1, dtype=F64)
+        res = lqr_mod.finite_horizon_lqr(
+            system, p, Q, R,
+            t0=0.0, tf=n * dt, num_steps=n,
+            x0_traj=xs_nom,
+            u0_traj=jnp.concatenate([us, us[-1:]], axis=0),
+            Qf=10 * jnp.eye(2, dtype=F64),
+        )
+        policy = lqr_mod.tvlqr_policy(res)
+        x_pert = x0 + jnp.array([0.1, 0.0], dtype=F64)
+        xs_cl, _, _ = simulator.simulate_controlled(system, p, x_pert, policy, n, dt)
+        err_cl = float(jnp.linalg.norm(xs_cl[-1] - xs_nom[-1]))
+        # open loop for comparison
+        xs_ol, _ = simulator.simulate(system, p, x_pert, us, dt)
+        err_ol = float(jnp.linalg.norm(xs_ol[-1] - xs_nom[-1]))
+        assert err_cl < 0.3 * err_ol
+        assert err_cl < 0.02
