@@ -1,17 +1,18 @@
-"""Benchmark: batched direct-collocation MPC solves per second per chip.
+"""Benchmark: batched receding-horizon MPC solves per second per chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Round-1 headline: pendulum swing-up dircol (the reference's
-examples/pendulum/trajectory_optimization_simulation.cc config: 21 knots,
-torque limit 3, running cost 10u^2) solved as a batch of independent SQP
-instances on one chip.  The reference solves ONE such NLP at a time through
-SNOPT on CPU; `vs_baseline` is solves/s divided by an assumed 10 solves/s
-for the reference path (SNOPT on a modern core solves this NLP in ~100 ms;
-the repo publishes no numbers — see BASELINE.md).
+Headline config (BASELINE.json config 3): quadrotor receding-horizon MPC
+with obstacle penalty, batched scenarios.  Each scenario runs a closed-loop
+rollout where every sim step re-solves a 30-step horizon with warm-started
+box-limited iLQR (4 iterations) and applies the first input — the TPU-native
+replacement for Drake's LinearModelPredictiveController + SNOPT/OSQP path
+(systems/controllers/linear_model_predictive_controller.h:41).
 
-On TPU this runs in f32 with relaxed tolerances (1e-3 feasibility — still
-tighter than the 1e-3 closed-loop acceptance bar of the reference example).
+value  = MPC solves/s/chip  (batch * steps / wall_time)
+vs_baseline = value / 1000  — the north-star >= 1 kHz-equivalent solve rate
+per chip from BASELINE.json (the reference repo publishes no absolute
+numbers; see BASELINE.md).
 """
 
 import json
@@ -22,69 +23,80 @@ import jax.numpy as jnp
 
 
 def main():
-    from drake_tpu.models import pendulum
-    from drake_tpu.solvers.ipm import IpmOptions
-    from drake_tpu.solvers.sqp import SqpOptions
-    from drake_tpu.trajopt import dircol
+    from drake_tpu.control import mpc
+    from drake_tpu.models import quadrotor
+    from drake_tpu.systems import base as sysbase
+    from drake_tpu.trajopt import ilqr
 
     dtype = jnp.float32
-    system = pendulum.make_system(pendulum.default_params(dtype))
+    system = quadrotor.make_system(quadrotor.default_params(dtype))
     params = system.default_params
-    x0 = jnp.array([0.0, 0.0], dtype=dtype)
-    xf = jnp.array([jnp.pi, 0.0], dtype=dtype)
-    problem = dircol.DircolProblem(
-        system=system,
-        num_time_samples=21,
-        minimum_time_step=0.2,
-        maximum_time_step=0.5,
-        running_cost=lambda x, u: 10.0 * u[0] ** 2,
-        x0=x0,
-        xf=xf,
-        u_lower=jnp.array([-3.0], dtype=dtype),
-        u_upper=jnp.array([3.0], dtype=dtype),
-    )
-    opts = SqpOptions(
-        max_iters=40,
-        qp=IpmOptions(max_iters=25, tol=1e-6, kkt_reg=1e-7),
-        constraint_tol=1e-3,
-        opt_tol=1e-2,
-        hessian_reg=1e-4,
-    )
+    dt = 0.02
+    dsys = sysbase.discretize(system, dt, "rk4")
+    u_h = quadrotor.hover_input(params)
 
-    batch = 32
-    # Perturbed initial guesses (scenario diversity).
+    x_goal = jnp.zeros(12, dtype=dtype).at[0].set(2.0).at[2].set(1.0)
+    obst = jnp.array([1.0, 0.0, 0.5], dtype=dtype)
+    r_obs = 0.4
+
+    def running_cost(p, x, u, t):
+        d2 = jnp.sum((x[:3] - obst) ** 2)
+        pen = jnp.maximum(0.0, r_obs**2 - d2) ** 2 * 100.0
+        return (
+            0.05 * jnp.sum((u - u_h) ** 2)
+            + 0.05 * jnp.sum((x - x_goal) ** 2)
+            + pen
+        )
+
+    def final_cost(p, x):
+        return 50.0 * jnp.sum((x - x_goal) ** 2)
+
+    horizon = 30
+    mpc_steps = 10
+    batch = 512
+    us0 = jnp.tile(u_h[None], (horizon, 1))
+
+    def scenario(x0):
+        return mpc.ilqr_mpc_rollout(
+            dsys.g,
+            running_cost,
+            final_cost,
+            params,
+            x0,
+            us0,
+            mpc_steps,
+            dt=dt,
+            u_lower=jnp.zeros(4, dtype=dtype),
+            u_upper=jnp.full(4, 4.0, dtype=dtype),
+            options=ilqr.IlqrOptions(max_iters=4),
+        )
+
     key = jax.random.PRNGKey(0)
-    z0 = problem.initial_guess(x0, xf, timespan=4.0, dtype=dtype)
-    z_batch = z0[None] + 0.01 * jax.random.normal(
-        key, (batch, z0.shape[0]), dtype=dtype
-    )
+    x0s = jnp.zeros((batch, 12), dtype=dtype)
+    x0s = x0s.at[:, :3].set(0.2 * jax.random.normal(key, (batch, 3), dtype=dtype))
 
-    solve = jax.jit(
-        jax.vmap(lambda z: dircol.solve(problem, params, z, opts))
-    )
+    rollout = jax.jit(jax.vmap(scenario))
+    res = rollout(x0s)  # compile + warm-up
+    jax.block_until_ready(res.xs)
 
-    # Warm-up / compile.
-    sol = solve(z_batch)
-    jax.block_until_ready(sol.xs)
-
-    n_rep = 5
+    n_rep = 3
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        sol = solve(z_batch)
-        jax.block_until_ready(sol.xs)
-    dt = (time.perf_counter() - t0) / n_rep
+        res = rollout(x0s)
+        jax.block_until_ready(res.xs)
+    wall = (time.perf_counter() - t0) / n_rep
 
-    n_ok = int(jnp.sum(sol.constraint_violation < 1e-2))
-    solves_per_s = batch / dt
-    baseline_solves_per_s = 10.0  # assumed reference SNOPT rate; see BASELINE.md
+    total_solves = batch * mpc_steps
+    solves_per_s = total_solves / wall
+    n_finite = int(jnp.sum(jnp.all(jnp.isfinite(res.xs.reshape(batch, -1)), axis=1)))
     print(
         json.dumps(
             {
-                "metric": "pendulum dircol MPC solves/s/chip "
-                f"(batch={batch}, f32, {n_ok}/{batch} feasible<1e-2)",
-                "value": round(solves_per_s, 2),
+                "metric": "quadrotor obstacle MPC solves/s/chip (iLQR horizon=30, "
+                f"batch={batch}, f32, {n_finite}/{batch} stable)",
+                "value": round(solves_per_s, 1),
                 "unit": "solves/s",
-                "vs_baseline": round(solves_per_s / baseline_solves_per_s, 2),
+                "vs_baseline": round(solves_per_s / 1000.0, 3),
             }
         )
     )

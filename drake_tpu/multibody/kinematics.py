@@ -1,0 +1,128 @@
+"""Forward kinematics over the static-topology tree.
+
+Re-derivation of MultibodyTree::CalcPositionKinematicsCache /
+CalcVelocityKinematicsCache (reference: multibody/tree/multibody_tree.h:1303,
+1319) as pure unrolled functions: the topology loop runs at trace time, so
+XLA sees a flat chain of small matrix ops (fusable, vmappable); no runtime
+cache/invalidation is needed (XLA CSE plays that role).
+
+Conventions: spatial vectors are [w; v] in the *body frame about the body
+origin*.  X_WB is returned as (R_WB, p_WB) pairs stacked over bodies.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from drake_tpu.math import rotations as rot
+from drake_tpu.multibody.model import (
+    FLOATING,
+    PRISMATIC,
+    REVOLUTE,
+    WELD,
+    MultibodyModel,
+    MultibodyParams,
+)
+
+
+class JointKinematics(NamedTuple):
+    R: jnp.ndarray  # (3,3) R_PB child orientation in parent
+    p: jnp.ndarray  # (3,) child origin in parent
+    S: jnp.ndarray  # (6, nv_i) motion subspace in child frame
+    v_joint: jnp.ndarray  # (6,) S @ v_i  spatial velocity across the joint
+
+
+def joint_transform(model: MultibodyModel, params: MultibodyParams, i: int, q):
+    """X_PB(q_i) = X_PJ * X_J(q_i) and the motion subspace for joint i."""
+    jt = model.joint_types[i]
+    qo = model.q_offsets[i]
+    R_PJ = params.X_PJ_R[i]
+    p_PJ = params.X_PJ_p[i]
+    axis = params.axis[i]
+    dtype = R_PJ.dtype
+
+    if jt == REVOLUTE:
+        qi = q[qo]
+        R_J = rot.axis_angle_to_rotation(axis, qi)
+        R = R_PJ @ R_J
+        p = p_PJ
+        S = jnp.concatenate([axis, jnp.zeros(3, dtype)])[:, None]
+    elif jt == PRISMATIC:
+        qi = q[qo]
+        R = R_PJ
+        p = p_PJ + qi * (R_PJ @ axis)
+        S = jnp.concatenate([jnp.zeros(3, dtype), axis])[:, None]
+    elif jt == WELD:
+        R = R_PJ
+        p = p_PJ
+        S = jnp.zeros((6, 0), dtype)
+    elif jt == FLOATING:
+        quat = rot.quat_normalize(q[qo : qo + 4])
+        R_J = rot.quat_to_rotation(quat)
+        R = R_PJ @ R_J
+        p = p_PJ + R_PJ @ q[qo + 4 : qo + 7]
+        # v = [w_B; v_B] body-frame angular + linear velocity.
+        S = jnp.eye(6, dtype=dtype)
+    else:
+        raise ValueError(f"unknown joint type {jt}")
+    return R, p, S
+
+
+def forward_kinematics(
+    model: MultibodyModel, params: MultibodyParams, q
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World poses of all bodies: (R_WB (nb,3,3), p_WB (nb,3))."""
+    nb = model.num_bodies
+    Rs, ps = [], []
+    for i in range(nb):
+        R_PB, p_PB, _ = joint_transform(model, params, i, q)
+        p_idx = model.parent[i]
+        if p_idx < 0:
+            Rs.append(R_PB)
+            ps.append(p_PB)
+        else:
+            Rs.append(Rs[p_idx] @ R_PB)
+            ps.append(ps[p_idx] + Rs[p_idx] @ p_PB)
+    return jnp.stack(Rs), jnp.stack(ps)
+
+
+def body_spatial_velocities(model: MultibodyModel, params: MultibodyParams, q, v):
+    """Spatial velocity of each body in its own frame about its origin.
+
+    Returns (nb, 6) array [w_B; v_Bo] expressed in B.  Also returns the
+    per-joint kinematics used (for reuse in dynamics).
+    """
+    nb = model.num_bodies
+    Vs = []
+    joints = []
+    for i in range(nb):
+        R_PB, p_PB, S = joint_transform(model, params, i, q)
+        vo = model.v_offsets[i]
+        nvi = S.shape[1]
+        v_i = v[vo : vo + nvi]
+        vJ = S @ v_i if nvi > 0 else jnp.zeros(6, S.dtype)
+        p_idx = model.parent[i]
+        if p_idx < 0:
+            V = vJ
+        else:
+            Vp = Vs[p_idx]
+            # Transform parent spatial velocity into child frame:
+            # w_B = R_BP w_P ; v_B = R_BP (v_P + w_P x p_PB)
+            R_BP = R_PB.T
+            w = R_BP @ Vp[:3]
+            vv = R_BP @ (Vp[3:] + jnp.cross(Vp[:3], p_PB))
+            V = jnp.concatenate([w, vv]) + vJ
+        Vs.append(V)
+        joints.append(JointKinematics(R=R_PB, p=p_PB, S=S, v_joint=vJ))
+    return jnp.stack(Vs), joints
+
+
+def world_velocities(model, params, q, v):
+    """Spatial velocities in world frame about each body origin: (nb, 6)."""
+    R_WB, p_WB = forward_kinematics(model, params, q)
+    V_B, _ = body_spatial_velocities(model, params, q, v)
+    w_W = jnp.einsum("bij,bj->bi", R_WB, V_B[:, :3])
+    v_W = jnp.einsum("bij,bj->bi", R_WB, V_B[:, 3:])
+    return jnp.concatenate([w_W, v_W], axis=1)

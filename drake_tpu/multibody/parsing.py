@@ -1,0 +1,176 @@
+"""URDF parsing: host-side model ingestion to static arrays.
+
+Re-derivation of Drake's Parser / detail_urdf_parser (reference:
+multibody/parsing/parser.h:30-33) scoped to the URDF subset the baseline
+configs need: links with inertials, revolute/continuous/prismatic/fixed/
+floating joints, axis, origin, dynamics damping.  Parsing happens entirely on
+the host (plain xml.etree) and produces the static MultibodyModel topology +
+a MultibodyParams pytree — nothing dynamic reaches XLA.
+
+SDF support follows the same shape (drake_tpu.multibody.parsing_sdf, later
+round); collision/visual geometry is read into drake_tpu.geometry primitives.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from drake_tpu.multibody.model import (
+    FLOATING,
+    PRISMATIC,
+    REVOLUTE,
+    WELD,
+    ModelBuilder,
+    MultibodyModel,
+    MultibodyParams,
+)
+
+_JOINT_MAP = {
+    "revolute": REVOLUTE,
+    "continuous": REVOLUTE,
+    "prismatic": PRISMATIC,
+    "fixed": WELD,
+    "floating": FLOATING,
+}
+
+
+def _parse_origin(el):
+    if el is None:
+        return np.zeros(3), np.zeros(3)
+    xyz = np.fromstring(el.get("xyz", "0 0 0"), sep=" ")
+    rpy = np.fromstring(el.get("rpy", "0 0 0"), sep=" ")
+    return xyz, rpy
+
+
+def _rpy_matrix(rpy):
+    from drake_tpu.math.rotations import rpy_to_rotation
+
+    return np.asarray(rpy_to_rotation(jnp.asarray(rpy, jnp.float64)))
+
+
+def _parse_inertial(link):
+    inertial = link.find("inertial")
+    if inertial is None:
+        return 0.0, np.zeros(3), np.zeros((3, 3))
+    mass_el = inertial.find("mass")
+    mass = float(mass_el.get("value", "0")) if mass_el is not None else 0.0
+    xyz, rpy = _parse_origin(inertial.find("origin"))
+    inertia_el = inertial.find("inertia")
+    if inertia_el is None:
+        I = np.zeros((3, 3))
+    else:
+        ixx = float(inertia_el.get("ixx", "0"))
+        iyy = float(inertia_el.get("iyy", "0"))
+        izz = float(inertia_el.get("izz", "0"))
+        ixy = float(inertia_el.get("ixy", "0"))
+        ixz = float(inertia_el.get("ixz", "0"))
+        iyz = float(inertia_el.get("iyz", "0"))
+        I = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
+    # Inertia is given in the inertial frame; rotate into the link frame.
+    R = _rpy_matrix(rpy)
+    I_link = R @ I @ R.T
+    return mass, xyz, I_link
+
+
+def parse_urdf(
+    source: str,
+    *,
+    floating_base: bool = False,
+    gravity=(0.0, 0.0, -9.81),
+    dtype=jnp.float32,
+    root_link: Optional[str] = None,
+) -> Tuple[MultibodyModel, MultibodyParams]:
+    """Parse a URDF file path or XML string into (model, params).
+
+    The root link attaches to world by a weld (default) or floating joint.
+    Links connected by 'fixed' joints are kept as weld-jointed bodies (no
+    automatic merging — matches MultibodyPlant's default).
+    """
+    if source.lstrip().startswith("<"):
+        root = ET.fromstring(source)
+    else:
+        root = ET.parse(source).getroot()
+
+    links = {l.get("name"): l for l in root.findall("link")}
+    joints = root.findall("joint")
+
+    child_of = {}
+    for j in joints:
+        child = j.find("child").get("link")
+        child_of[child] = j
+
+    roots = [name for name in links if name not in child_of]
+    if root_link is not None:
+        base = root_link
+    else:
+        if len(roots) != 1:
+            raise ValueError(f"expected one root link, found {roots}")
+        base = roots[0]
+
+    builder = ModelBuilder(gravity=gravity)
+
+    def add_link(name: str, parent_body: Optional[str], joint_el):
+        link = links[name]
+        mass, com, I_com = _parse_inertial(link)
+        if joint_el is None:
+            jt = FLOATING if floating_base else WELD
+            xyz = np.zeros(3)
+            rpy = np.zeros(3)
+            axis = np.array([0.0, 0.0, 1.0])
+            damping = 0.0
+            jname = f"{name}_base"
+        else:
+            jt = _JOINT_MAP[joint_el.get("type")]
+            xyz, rpy = _parse_origin(joint_el.find("origin"))
+            axis_el = joint_el.find("axis")
+            axis = (
+                np.fromstring(axis_el.get("xyz"), sep=" ")
+                if axis_el is not None
+                else np.array([1.0, 0.0, 0.0])
+            )
+            dyn_el = joint_el.find("dynamics")
+            damping = float(dyn_el.get("damping", "0")) if dyn_el is not None else 0.0
+            jname = joint_el.get("name")
+        builder.add_body(
+            name,
+            parent=parent_body,
+            joint_type=jt,
+            mass=mass,
+            com=com,
+            inertia_com=I_com,
+            X_PJ_rpy=rpy,
+            X_PJ_xyz=xyz,
+            axis=axis,
+            damping=damping,
+            joint_name=jname,
+        )
+        # Recurse into children (joints whose parent is this link).
+        for j in joints:
+            if j.find("parent").get("link") == name:
+                add_link(j.find("child").get("link"), name, j)
+
+    add_link(base, None, None)
+    return builder.build(dtype)
+
+
+def joint_limits(source: str):
+    """Extract (lower, upper, effort, velocity) limit dicts keyed by joint name."""
+    if source.lstrip().startswith("<"):
+        root = ET.fromstring(source)
+    else:
+        root = ET.parse(source).getroot()
+    out = {}
+    for j in root.findall("joint"):
+        lim = j.find("limit")
+        if lim is not None:
+            out[j.get("name")] = {
+                "lower": float(lim.get("lower", "-inf")),
+                "upper": float(lim.get("upper", "inf")),
+                "effort": float(lim.get("effort", "inf")),
+                "velocity": float(lim.get("velocity", "inf")),
+            }
+    return out

@@ -46,6 +46,11 @@ class IpmOptions:
     tol: float = 1e-9
     tau: float = 0.995  # fraction-to-boundary
     kkt_reg: float = 1e-9  # static regularization of the KKT system
+    # f32 robustness: one round of iterative refinement on each KKT solve
+    # recovers ~3 digits lost to the barrier-induced conditioning; D entries
+    # are clamped so the KKT condition number stays within the dtype's reach.
+    refine_steps: int = 1
+    d_max: float = 1e10  # clamp on barrier diagonal z/s (use ~1e6 for f32)
 
 
 class IpmSolution(NamedTuple):
@@ -102,6 +107,7 @@ def solve_qp_ipm(
         mu = (jnp.sum(sl * zl) + jnp.sum(su * zu)) / n_bounds
 
         D = ml * zl / sl + mub * zu / su
+        D = jnp.minimum(D, opts.d_max)
         K = jnp.block(
             [
                 [P + jnp.diag(D) + opts.kkt_reg * I_n, G.T],
@@ -110,13 +116,19 @@ def solve_qp_ipm(
         )
         K_lu = jax.scipy.linalg.lu_factor(K)
 
+        def kkt_solve(rhs):
+            sol = jax.scipy.linalg.lu_solve(K_lu, rhs)
+            for _ in range(opts.refine_steps):
+                sol = sol + jax.scipy.linalg.lu_solve(K_lu, rhs - K @ sol)
+            return sol
+
         def solve_dir(rhs_l, rhs_u):
             rd_bar = (
                 rd
                 - ml * (rhs_l - zl * rl) / sl
                 + mub * (rhs_u - zu * ru) / su
             )
-            sol = jax.scipy.linalg.lu_solve(K_lu, jnp.concatenate([-rd_bar, -rp]))
+            sol = kkt_solve(jnp.concatenate([-rd_bar, -rp]))
             dw, dy = sol[:n], sol[n:]
             dsl = ml * (dw + rl)
             dsu = mub * (-dw + ru)

@@ -1,0 +1,224 @@
+"""iLQR / DDP: the TPU-native receding-horizon MPC engine.
+
+The reference's MPC is LinearModelPredictiveController — re-linearize, build a
+DirectTranscription QP, call OSQP each period (reference:
+systems/controllers/linear_model_predictive_controller.h:41).  That design is
+host-solver-bound.  The TPU-first equivalent is iLQR with box control limits:
+a backward Riccati sweep (lax.scan of small dense ops — well-conditioned in
+f32, unlike a monolithic KKT factorization) plus a rolled-out forward line
+search.  One solve is two scans; thousands of scenarios vmap into one XLA
+program, which is what makes >=1 kHz-equivalent MPC per chip reachable.
+
+Algorithm: Tassa-style iLQR with
+  - Levenberg regularization on Quu with adaptive schedule,
+  - control limits by clamping the feedforward and zeroing feedback rows on
+    clamped coordinates (projected variant of boxed-DDP),
+  - parallel-alpha forward pass: all line-search candidates roll out at once
+    (a batched scan), and the best acceptable one is selected — cheaper on
+    TPU than sequential backtracking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class IlqrOptions:
+    max_iters: int = 50
+    tol: float = 1e-6  # expected-improvement convergence threshold
+    reg_init: float = 1e-6
+    reg_min: float = 1e-9
+    reg_max: float = 1e8
+    reg_up: float = 10.0
+    reg_down: float = 0.5
+    alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+    accept_ratio: float = 1e-4  # actual/expected reduction acceptance
+
+
+class IlqrResult(NamedTuple):
+    xs: jnp.ndarray  # (N+1, nx)
+    us: jnp.ndarray  # (N, nu)
+    K: jnp.ndarray  # (N, nu, nx) feedback gains (for closed-loop warm use)
+    k: jnp.ndarray  # (N, nu) feedforward (residual at convergence)
+    cost: jnp.ndarray
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def solve(
+    dynamics: Callable,  # (params, x, u, t) -> x_next  (discrete step)
+    running_cost: Callable,  # (params, x, u, t) -> scalar
+    final_cost: Callable,  # (params, x) -> scalar
+    params: Any,
+    x0: jnp.ndarray,
+    us_init: jnp.ndarray,
+    dt: float = 1.0,
+    u_lower: Optional[jnp.ndarray] = None,
+    u_upper: Optional[jnp.ndarray] = None,
+    options: IlqrOptions = IlqrOptions(),
+) -> IlqrResult:
+    """Solve the finite-horizon optimal control problem.  jit/vmap friendly.
+
+    Times passed to dynamics/cost are k*dt.
+    """
+    opts = options
+    N, nu = us_init.shape
+    nx = x0.shape[0]
+    dtype = x0.dtype
+    ts = dt * jnp.arange(N, dtype=dtype)
+    has_limits = u_lower is not None or u_upper is not None
+    lo = jnp.full((nu,), -jnp.inf, dtype) if u_lower is None else u_lower
+    hi = jnp.full((nu,), jnp.inf, dtype) if u_upper is None else u_upper
+
+    def clamp(u):
+        return jnp.clip(u, lo, hi) if has_limits else u
+
+    def rollout(us):
+        def step(x, uk_tk):
+            u, t = uk_tk
+            x_next = dynamics(params, x, u, t)
+            return x_next, x_next
+
+        _, xs_tail = jax.lax.scan(step, x0, (us, ts))
+        return jnp.concatenate([x0[None], xs_tail], axis=0)
+
+    def total_cost(xs, us):
+        run = jnp.sum(jax.vmap(lambda x, u, t: running_cost(params, x, u, t))(
+            xs[:-1], us, ts
+        ))
+        return run + final_cost(params, xs[-1])
+
+    def derivs(x, u, t):
+        fx = jax.jacfwd(lambda xx: dynamics(params, xx, u, t))(x)
+        fu = jax.jacfwd(lambda uu: dynamics(params, x, uu, t))(u)
+        lx = jax.grad(lambda xx: running_cost(params, xx, u, t))(x)
+        lu = jax.grad(lambda uu: running_cost(params, x, uu, t))(u)
+        lxx = jax.hessian(lambda xx: running_cost(params, xx, u, t))(x)
+        luu = jax.hessian(lambda uu: running_cost(params, x, uu, t))(u)
+        lux = jax.jacfwd(
+            lambda uu: jax.grad(lambda xx: running_cost(params, xx, uu, t))(x)
+        )(u).T
+        return fx, fu, lx, lu, lxx, luu, lux
+
+    def backward(xs, us, reg):
+        fxs, fus, lxs, lus, lxxs, luus, luxs = jax.vmap(derivs)(xs[:-1], us, ts)
+        Vx = jax.grad(lambda xx: final_cost(params, xx))(xs[-1])
+        Vxx = jax.hessian(lambda xx: final_cost(params, xx))(xs[-1])
+
+        def step(carry, inp):
+            Vx, Vxx, dV1, dV2, ok = carry
+            fx, fu, lx, lu, lxx, luu, lux, u = inp
+            Qx = lx + fx.T @ Vx
+            Qu = lu + fu.T @ Vx
+            Qxx = lxx + fx.T @ Vxx @ fx
+            Quu = luu + fu.T @ Vxx @ fu + reg * jnp.eye(nu, dtype=dtype)
+            Qux = lux + fu.T @ Vxx @ fx
+
+            # PD check via Cholesky: diagonal of the factor must be finite+positive.
+            L = jnp.linalg.cholesky(Quu)
+            pd = jnp.all(jnp.isfinite(jnp.diagonal(L)))
+            Quu_inv = jnp.linalg.inv(
+                jnp.where(pd, Quu, jnp.eye(nu, dtype=dtype))
+            )
+            kff = -Quu_inv @ Qu
+            K = -Quu_inv @ Qux
+            if has_limits:
+                # Clamp feedforward into the box; zero feedback on clamped dims.
+                u_new = clamp(u + kff)
+                kff_c = u_new - u
+                free = jnp.logical_and(u_new > lo + 1e-9, u_new < hi - 1e-9)
+                kff = kff_c
+                K = K * free[:, None].astype(dtype)
+
+            dV1 = dV1 + kff @ Qu
+            dV2 = dV2 + 0.5 * kff @ (Quu @ kff)
+            Vx_new = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
+            Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+            Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+            return (Vx_new, Vxx_new, dV1, dV2, jnp.logical_and(ok, pd)), (kff, K)
+
+        init = (
+            Vx,
+            Vxx,
+            jnp.asarray(0.0, dtype),
+            jnp.asarray(0.0, dtype),
+            jnp.array(True),
+        )
+        inputs = (fxs, fus, lxs, lus, lxxs, luus, luxs, us)
+        (Vx, Vxx, dV1, dV2, ok), (ks, Ks) = jax.lax.scan(
+            step, init, inputs, reverse=True
+        )
+        return ks, Ks, dV1, dV2, ok
+
+    def forward(xs, us, ks, Ks, alpha):
+        def step(x, inp):
+            x_ref, u_ref, kff, K, t = inp
+            u = clamp(u_ref + alpha * kff + K @ (x - x_ref))
+            x_next = dynamics(params, x, u, t)
+            return x_next, (x_next, u)
+
+        _, (xs_tail, us_new) = jax.lax.scan(
+            step, x0, (xs[:-1], us, ks, Ks, ts)
+        )
+        xs_new = jnp.concatenate([x0[None], xs_tail], axis=0)
+        return xs_new, us_new
+
+    def ilqr_iter(state):
+        xs, us, cost, reg, it, _, K_last, k_last = state
+        ks, Ks, dV1, dV2, bp_ok = backward(xs, us, reg)
+
+        # Parallel forward passes over the alpha schedule.
+        alphas = jnp.asarray(opts.alphas, dtype)
+        xs_c, us_c = jax.vmap(lambda a: forward(xs, us, ks, Ks, a))(alphas)
+        costs_c = jax.vmap(total_cost)(xs_c, us_c)
+        expected = -(alphas * dV1 + alphas**2 * dV2)
+        improve = cost - costs_c
+        # Acceptable: improvement positive and a reasonable fraction of model.
+        acceptable = jnp.logical_and(
+            improve > 0.0,
+            improve > opts.accept_ratio * jnp.maximum(expected, 1e-16),
+        )
+        acceptable = jnp.logical_and(acceptable, bp_ok)
+        any_ok = jnp.any(acceptable)
+        best = jnp.argmax(jnp.where(acceptable, improve, -jnp.inf))
+
+        xs_new = jnp.where(any_ok, xs_c[best], xs)
+        us_new = jnp.where(any_ok, us_c[best], us)
+        cost_new = jnp.where(any_ok, costs_c[best], cost)
+        reg_new = jnp.where(
+            any_ok,
+            jnp.maximum(reg * opts.reg_down, opts.reg_min),
+            jnp.minimum(jnp.maximum(reg, 1e-6) * opts.reg_up, opts.reg_max),
+        )
+        # Converged when the (full-step) expected improvement is tiny.
+        converged = jnp.logical_and(any_ok, expected[0] <= opts.tol * (1.0 + cost))
+        diverged = reg_new >= opts.reg_max
+        done = jnp.logical_or(converged, diverged)
+        return (xs_new, us_new, cost_new, reg_new, it + 1, done, Ks, ks)
+
+    def cond(state):
+        _, _, _, _, it, done, _, _ = state
+        return jnp.logical_and(~done, it < opts.max_iters)
+
+    us0 = jax.vmap(clamp)(us_init)
+    xs0 = rollout(us0)
+    cost0 = total_cost(xs0, us0)
+    state = (
+        xs0,
+        us0,
+        cost0,
+        jnp.asarray(opts.reg_init, dtype),
+        jnp.array(0),
+        jnp.array(False),
+        jnp.zeros((N, nu, nx), dtype),
+        jnp.zeros((N, nu), dtype),
+    )
+    xs, us, cost, reg, it, done, Ks, ks = jax.lax.while_loop(cond, ilqr_iter, state)
+    return IlqrResult(
+        xs=xs, us=us, K=Ks, k=ks, cost=cost, iterations=it, converged=done
+    )
