@@ -1,0 +1,100 @@
+"""Discrete contact plant: the MultibodyPlant(time_step>0) + SAP pipeline.
+
+Re-derivation of the reference's discrete update path (multibody_plant.cc:2977
+CalcDiscreteStep → DiscreteUpdateManager::CalcDiscreteValues →
+CompliantContactManager → SapDriver, SURVEY.md §3.2) as one pure function:
+
+    x_{t+1} = step(params, x_t, u_t)
+
+assembling the SAP problem at (q, v) and solving it on device.  Symplectic
+position update q_{t+1} = q + h N(q) v_{t+1} (quaternions advanced by the
+exponential map), matching Drake's discrete scheme.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+
+from drake_tpu.contact import sap
+from drake_tpu.geometry.scene import CollisionScene
+from drake_tpu.math import rotations as rot
+from drake_tpu.multibody.model import FLOATING, MultibodyModel, MultibodyParams
+from drake_tpu.systems.base import DiscreteSystem
+
+
+def advance_positions(model: MultibodyModel, params, q, v, h):
+    """q_next = q (+) h*v with quaternion exponential for floating joints."""
+    dtype = q.dtype
+    q_next = q
+    for i, jt in enumerate(model.joint_types):
+        qo = model.q_offsets[i]
+        vo = model.v_offsets[i]
+        if jt == FLOATING:
+            quat = rot.quat_normalize(q[qo : qo + 4])
+            w_B = v[vo : vo + 3]
+            v_B = v[vo + 3 : vo + 6]
+            quat_next = rot.quat_integrate(quat, w_B, h)
+            R_JB = rot.quat_to_rotation(quat)
+            xyz_next = q[qo + 4 : qo + 7] + h * (R_JB @ v_B)
+            q_next = q_next.at[qo : qo + 4].set(quat_next)
+            q_next = q_next.at[qo + 4 : qo + 7].set(xyz_next)
+        elif jt in ("revolute", "prismatic"):
+            q_next = q_next.at[qo].set(q[qo] + h * v[vo])
+    return q_next
+
+
+def make_discrete_system(
+    model: MultibodyModel,
+    params: MultibodyParams,
+    scene: CollisionScene,
+    time_step: float,
+    actuated_joints: Optional[Sequence[str]] = None,
+    sap_params: sap.SapParameters = sap.SapParameters(),
+) -> DiscreteSystem:
+    """Discrete plant with SAP contact; x = [q; v], u = actuation torques."""
+    nq = model.num_positions
+    nv = model.num_velocities
+    h = time_step
+
+    if actuated_joints is None:
+        act = [
+            i
+            for i, jt in enumerate(model.joint_types)
+            if jt in ("revolute", "prismatic")
+        ]
+    else:
+        act = [model.joint_names.index(n) for n in actuated_joints]
+    act_v_offsets = [model.v_offsets[i] for i in act]
+    nu = len(act)
+
+    def g(p: MultibodyParams, x, u, t=0.0):
+        q, v = x[:nq], x[nq:]
+        tau = jnp.zeros(nv, x.dtype)
+        for k, vo in enumerate(act_v_offsets):
+            tau = tau.at[vo].add(u[k])
+        data, _ = sap.assemble(model, p, scene, q, v, tau, h, sap_params)
+        sol = sap.solve_sap(data, data.v_star, sap_params)
+        v_next = sol.v
+        q_next = advance_positions(model, p, q, v_next, h)
+        return jnp.concatenate([q_next, v_next])
+
+    return DiscreteSystem(
+        g=g,
+        num_states=nq + nv,
+        num_inputs=nu,
+        time_step=h,
+        default_params=params,
+    )
+
+
+def step_with_forces(
+    model, params, scene, q, v, tau, h, sap_params=sap.SapParameters()
+):
+    """One SAP step returning (q_next, v_next, contact solution) for
+    inspection — the ContactResults-reporting analog."""
+    data, contact = sap.assemble(model, params, scene, q, v, tau, h, sap_params)
+    sol = sap.solve_sap(data, data.v_star, sap_params)
+    q_next = advance_positions(model, params, q, sol.v, h)
+    return q_next, sol.v, sol, contact

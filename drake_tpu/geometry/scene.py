@@ -1,0 +1,264 @@
+"""Collision scene: geometries on bodies, static pair lists, on-device queries.
+
+SceneGraph analog (reference: geometry/scene_graph.h, geometry/query_object.h)
+with the TPU design constraints: the set of collision pairs and the number of
+contact points per pair are STATIC (decided at scene-build time on the host);
+queries return fixed-size arrays with a validity mask.  This replaces the
+reference's dynamic broad phase — fine at robot scale, and it is what lets
+the whole contact problem live inside one jitted step.
+
+Point-contact generation per pair type (contacts per pair):
+  sphere-halfspace: 1      sphere-sphere: 1       sphere-box: 1
+  capsule-halfspace: 2     capsule-sphere: 1      box-halfspace: 8 (corners)
+  capsule-capsule: 1
+
+Each contact reports: phi (signed distance), contact point p_W, unit normal
+n_W pointing from geometry B into geometry A, and the body indices — enough
+to build the contact Jacobian against the multibody tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from drake_tpu.geometry import shapes as sh
+from drake_tpu.multibody import kinematics as kin
+from drake_tpu.multibody.model import MultibodyModel, MultibodyParams
+
+
+@dataclasses.dataclass(frozen=True)
+class CollisionGeometry:
+    """A shape rigidly attached to a body (body -1 = world/anchored)."""
+
+    name: str
+    body: int
+    shape: object
+    R_BG: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(3)
+    )
+    p_BG: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )
+    # Contact material (SAP point-contact parameters; Drake's
+    # geometry/proximity_properties.h stiffness/dissipation/friction).
+    stiffness: float = 1e6
+    dissipation: float = 0.1  # SAP relaxation time tau_d [s]
+    friction: float = 1.0
+
+
+class ContactData(NamedTuple):
+    """Fixed-size batch of potential point contacts."""
+
+    phi: jnp.ndarray  # (nc,)
+    p_W: jnp.ndarray  # (nc, 3) contact point (midpoint of witnesses)
+    n_W: jnp.ndarray  # (nc, 3) unit normal, from B into A
+    body_a: Tuple[int, ...]  # static body index per contact
+    body_b: Tuple[int, ...]
+    stiffness: jnp.ndarray  # (nc,) combined stiffness
+    dissipation: jnp.ndarray  # (nc,)
+    friction: jnp.ndarray  # (nc,)
+
+
+def _combine_materials(ga: CollisionGeometry, gb: CollisionGeometry):
+    """Combined point-contact parameters (Drake's series-spring combination
+    k = ka*kb/(ka+kb); friction/dissipation averaged as in
+    multibody/plant/coulomb_friction.h CalcContactFrictionFromSurfaceProperties)."""
+    k = ga.stiffness * gb.stiffness / (ga.stiffness + gb.stiffness)
+    mu = 2.0 * ga.friction * gb.friction / (ga.friction + gb.friction)
+    d = ga.dissipation + gb.dissipation
+    return k, d, mu
+
+
+@dataclasses.dataclass(frozen=True)
+class CollisionScene:
+    """Static description of all geometries and candidate pairs."""
+
+    geometries: Tuple[CollisionGeometry, ...]
+    pairs: Tuple[Tuple[int, int], ...]  # indices into geometries
+
+    @staticmethod
+    def build(
+        geometries: Sequence[CollisionGeometry],
+        exclude_same_body: bool = True,
+        exclude: Sequence[Tuple[str, str]] = (),
+    ) -> "CollisionScene":
+        """Enumerate candidate pairs (static broad phase)."""
+        pairs = []
+        excl = {frozenset(e) for e in exclude}
+        for i, j in itertools.combinations(range(len(geometries)), 2):
+            gi, gj = geometries[i], geometries[j]
+            if exclude_same_body and gi.body == gj.body:
+                continue
+            if frozenset((gi.name, gj.name)) in excl:
+                continue
+            if isinstance(gi.shape, sh.HalfSpace) and isinstance(
+                gj.shape, sh.HalfSpace
+            ):
+                continue
+            pairs.append((i, j))
+        return CollisionScene(geometries=tuple(geometries), pairs=tuple(pairs))
+
+    @property
+    def num_contacts(self) -> int:
+        return sum(_contacts_per_pair(self.geometries[i], self.geometries[j])
+                   for i, j in self.pairs)
+
+    def query(
+        self, model: MultibodyModel, params: MultibodyParams, q
+    ) -> ContactData:
+        """Compute all candidate contacts at configuration q (on device)."""
+        R_WB, p_WB = kin.forward_kinematics(model, params, q)
+        dtype = q.dtype
+
+        def geom_pose(g: CollisionGeometry):
+            R_BG = jnp.asarray(g.R_BG, dtype)
+            p_BG = jnp.asarray(g.p_BG, dtype)
+            if g.body < 0:
+                return R_BG, p_BG
+            R = R_WB[g.body] @ R_BG
+            p = p_WB[g.body] + R_WB[g.body] @ p_BG
+            return R, p
+
+        phis, pws, nws = [], [], []
+        body_a, body_b = [], []
+        ks, ds, mus = [], [], []
+        for i, j in self.pairs:
+            ga, gb = self.geometries[i], self.geometries[j]
+            Ra, pa = geom_pose(ga)
+            Rb, pb = geom_pose(gb)
+            contacts = _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype)
+            k, d, mu = _combine_materials(ga, gb)
+            for phi, p_W, n_W in contacts:
+                phis.append(phi)
+                pws.append(p_W)
+                nws.append(n_W)
+                body_a.append(ga.body)
+                body_b.append(gb.body)
+                ks.append(k)
+                ds.append(d)
+                mus.append(mu)
+
+        return ContactData(
+            phi=jnp.stack(phis),
+            p_W=jnp.stack(pws),
+            n_W=jnp.stack(nws),
+            body_a=tuple(body_a),
+            body_b=tuple(body_b),
+            stiffness=jnp.asarray(np.array(ks), dtype),
+            dissipation=jnp.asarray(np.array(ds), dtype),
+            friction=jnp.asarray(np.array(mus), dtype),
+        )
+
+
+def _contacts_per_pair(ga: CollisionGeometry, gb: CollisionGeometry) -> int:
+    a, b = ga.shape, gb.shape
+    kinds = (type(a).__name__, type(b).__name__)
+    table = {
+        frozenset(("Sphere", "HalfSpace")): 1,
+        frozenset(("Sphere",)): 1,
+        frozenset(("Sphere", "Box")): 1,
+        frozenset(("Capsule", "HalfSpace")): 2,
+        frozenset(("Capsule", "Sphere")): 1,
+        frozenset(("Capsule",)): 1,
+        frozenset(("Box", "HalfSpace")): 8,
+    }
+    return table[frozenset(kinds)]
+
+
+def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
+    """Returns a list of (phi, p_W, n_W) with n_W pointing from B into A."""
+    a, b = ga.shape, gb.shape
+    # Normalize the order so each handler sees a canonical (A, B).
+    if isinstance(a, sh.HalfSpace) or (
+        isinstance(a, sh.Box) and isinstance(b, (sh.Sphere, sh.Capsule))
+    ) or (isinstance(a, sh.Sphere) and isinstance(b, sh.Capsule)):
+        # Swap so the 'larger/static' shape is B; flip resulting normals.
+        out = _pair_contacts(gb, Rb, pb, ga, Ra, pa, dtype)
+        return [(phi, p, -n) for phi, p, n in out]
+
+    if isinstance(a, sh.Sphere) and isinstance(b, sh.HalfSpace):
+        phi_c, n_W = sh.halfspace_sdf_point(Rb, pb, pa)
+        phi = phi_c - a.radius
+        p_W = pa - n_W * (a.radius + 0.5 * phi)
+        return [(phi, p_W, n_W)]
+
+    if isinstance(a, sh.Sphere) and isinstance(b, sh.Sphere):
+        d = pa - pb
+        dist = jnp.linalg.norm(d)
+        n_W = d / jnp.maximum(dist, 1e-9)
+        phi = dist - a.radius - b.radius
+        p_W = pb + n_W * (b.radius + 0.5 * phi)
+        return [(phi, p_W, n_W)]
+
+    if isinstance(a, sh.Sphere) and isinstance(b, sh.Box):
+        phi_c, n_W = sh.box_sdf_point(Rb, pb, b.size, pa)
+        phi = phi_c - a.radius
+        p_W = pa - n_W * (a.radius + 0.5 * phi)
+        return [(phi, p_W, n_W)]
+
+    if isinstance(a, sh.Capsule) and isinstance(b, sh.HalfSpace):
+        e1, e2 = sh.capsule_segment_points(Ra, pa, a.length)
+        out = []
+        for e in (e1, e2):
+            phi_c, n_W = sh.halfspace_sdf_point(Rb, pb, e)
+            phi = phi_c - a.radius
+            p_W = e - n_W * (a.radius + 0.5 * phi)
+            out.append((phi, p_W, n_W))
+        return out
+
+    if isinstance(a, sh.Capsule) and isinstance(b, sh.Sphere):
+        e1, e2 = sh.capsule_segment_points(Ra, pa, a.length)
+        c = sh.closest_point_on_segment(e1, e2, pb)
+        d = c - pb
+        dist = jnp.linalg.norm(d)
+        n_W = d / jnp.maximum(dist, 1e-9)
+        phi = dist - a.radius - b.radius
+        p_W = pb + n_W * (b.radius + 0.5 * phi)
+        return [(phi, p_W, n_W)]
+
+    if isinstance(a, sh.Capsule) and isinstance(b, sh.Capsule):
+        a1, a2 = sh.capsule_segment_points(Ra, pa, a.length)
+        b1, b2 = sh.capsule_segment_points(Rb, pb, b.length)
+        # Closest points between segments (iterative projection, 3 sweeps —
+        # exact for non-parallel segments, stable for parallel ones).
+        ca = 0.5 * (a1 + a2)
+        for _ in range(3):
+            cb = sh.closest_point_on_segment(b1, b2, ca)
+            ca = sh.closest_point_on_segment(a1, a2, cb)
+        d = ca - cb
+        dist = jnp.linalg.norm(d)
+        n_W = d / jnp.maximum(dist, 1e-9)
+        phi = dist - a.radius - b.radius
+        p_W = cb + n_W * (b.radius + 0.5 * phi)
+        return [(phi, p_W, n_W)]
+
+    if isinstance(a, sh.Box) and isinstance(b, sh.HalfSpace):
+        corners = sh.box_corners(Ra, pa, a.size)
+        out = []
+        for k in range(8):
+            phi, n_W = sh.halfspace_sdf_point(Rb, pb, corners[k])
+            out.append((phi, corners[k], n_W))
+        return out
+
+    raise NotImplementedError(
+        f"no contact handler for {type(a).__name__}-{type(b).__name__}"
+    )
+
+
+def contact_frame(n_W):
+    """Orthonormal contact frame columns [t1, t2, n] from unit normal."""
+    # Robust tangent construction (pick the axis least aligned with n).
+    ref = jnp.where(
+        jnp.abs(n_W[..., 0:1]) < 0.9,
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], n_W.dtype), n_W.shape),
+        jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], n_W.dtype), n_W.shape),
+    )
+    t1 = jnp.cross(n_W, ref)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(n_W, t1)
+    return jnp.stack([t1, t2, n_W], axis=-1)  # (..., 3, 3)

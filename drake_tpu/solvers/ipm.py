@@ -46,11 +46,13 @@ class IpmOptions:
     tol: float = 1e-9
     tau: float = 0.995  # fraction-to-boundary
     kkt_reg: float = 1e-9  # static regularization of the KKT system
-    # f32 robustness: one round of iterative refinement on each KKT solve
-    # recovers ~3 digits lost to the barrier-induced conditioning; D entries
-    # are clamped so the KKT condition number stays within the dtype's reach.
-    refine_steps: int = 1
-    d_max: float = 1e10  # clamp on barrier diagonal z/s (use ~1e6 for f32)
+    # f32 robustness knobs (leave at defaults for f64): iterative refinement
+    # on each KKT solve recovers digits lost to barrier-induced conditioning;
+    # d_max clamps the barrier diagonal z/s so the KKT condition number stays
+    # within the dtype's reach (use refine_steps=1..2, d_max~1e6 for f32).
+    # NOTE: clamping caps terminal accuracy — keep d_max >= 1e14 for f64.
+    refine_steps: int = 0
+    d_max: float = 1e14
 
 
 class IpmSolution(NamedTuple):

@@ -50,7 +50,7 @@ from drake_tpu.solvers.ipm import IpmOptions, solve_qp_ipm
 
 @dataclasses.dataclass(frozen=True)
 class SqpOptions:
-    max_iters: int = 80
+    max_iters: int = 120
     qp: IpmOptions = IpmOptions(max_iters=50, tol=1e-11)
     constraint_tol: float = 1e-6
     opt_tol: float = 1e-4  # accepted-step-size stationarity tolerance

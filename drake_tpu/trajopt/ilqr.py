@@ -38,6 +38,10 @@ class IlqrOptions:
     reg_down: float = 0.5
     alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
     accept_ratio: float = 1e-4  # actual/expected reduction acceptance
+    # Use reverse-mode for dynamics jacobians.  Required when the dynamics
+    # contain custom_vjp primitives (e.g. the SAP contact solve, which
+    # differentiates via the implicit-function theorem and has no jvp rule).
+    use_jacrev: bool = False
 
 
 class IlqrResult(NamedTuple):
@@ -93,9 +97,11 @@ def solve(
         ))
         return run + final_cost(params, xs[-1])
 
+    jac = jax.jacrev if opts.use_jacrev else jax.jacfwd
+
     def derivs(x, u, t):
-        fx = jax.jacfwd(lambda xx: dynamics(params, xx, u, t))(x)
-        fu = jax.jacfwd(lambda uu: dynamics(params, x, uu, t))(u)
+        fx = jac(lambda xx: dynamics(params, xx, u, t))(x)
+        fu = jac(lambda uu: dynamics(params, x, uu, t))(u)
         lx = jax.grad(lambda xx: running_cost(params, xx, u, t))(x)
         lu = jax.grad(lambda uu: running_cost(params, x, uu, t))(u)
         lxx = jax.hessian(lambda xx: running_cost(params, xx, u, t))(x)

@@ -1,0 +1,242 @@
+"""SAP contact solver tests.
+
+Mirrors the reference's SAP test strategy (multibody/contact_solvers/sap/test/
+sap_solver_test.cc — analytic stiction ('PizzaSaver') and friction-cone
+checks; sap/validate_constraint_gradients.h): projection vs numerical
+optimization, gradient identities, analytic rigid-body contact physics
+(resting, stiction threshold, sliding deceleration), and IFT gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from drake_tpu.contact import plant as cplant
+from drake_tpu.contact import sap
+from drake_tpu.geometry import shapes as sh
+from drake_tpu.geometry.scene import CollisionGeometry, CollisionScene
+from drake_tpu.multibody.model import FLOATING, ModelBuilder
+from drake_tpu.systems import simulator
+
+F64 = jnp.float64
+
+
+def make_ball(mu=0.5, radius=0.05, mass=0.5, gravity=(0.0, 0.0, -9.81)):
+    b = ModelBuilder(gravity=gravity)
+    b.add_body(
+        "ball", parent=None, joint_type=FLOATING, mass=mass,
+        inertia_com=np.eye(3) * 0.4 * mass * radius**2,
+    )
+    model, params = b.build(F64)
+    geoms = [
+        CollisionGeometry(name="ground", body=-1, shape=sh.HalfSpace(),
+                          friction=mu),
+        CollisionGeometry(name="ball", body=0, shape=sh.Sphere(radius),
+                          friction=mu, stiffness=1e6, dissipation=0.1),
+    ]
+    scene = CollisionScene.build(geoms)
+    return model, params, scene, radius, mass
+
+
+class TestProjection:
+    def test_gradient_identity_all_regions(self):
+        """d l / d vc == -gamma (the property Drake validates with
+        ValidateConstraintGradients)."""
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            vc = jnp.asarray(rng.normal(size=3))
+            Rt = abs(rng.normal()) + 0.01
+            Rn = abs(rng.normal()) + 0.01
+            R = jnp.asarray([Rt, Rt, Rn])
+            vhat = jnp.asarray(rng.normal(size=3))
+            mu = abs(rng.normal()) + 0.1
+            g = jax.grad(lambda v: sap._contact_cost(v, R, vhat, mu)[0])(vc)
+            gamma = sap._contact_cost(vc, R, vhat, mu)[1]
+            np.testing.assert_allclose(g, -gamma, atol=1e-12)
+
+    def test_projection_in_cone(self):
+        rng = np.random.default_rng(1)
+        for _ in range(20):
+            y = jnp.asarray(rng.normal(size=3) * 2)
+            R = jnp.asarray([0.1, 0.1, 0.5])
+            mu = 0.7
+            g = sap._project_gamma(y, R, mu)
+            assert float(jnp.hypot(g[0], g[1])) <= mu * float(g[2]) + 1e-10
+
+    def test_hessian_psd(self):
+        """G = -dgamma/dvc must be PSD (convexity of the SAP cost)."""
+        rng = np.random.default_rng(2)
+        R = jnp.asarray([0.1, 0.1, 0.5])
+        vhat = jnp.zeros(3)
+        mu = 0.7
+        for _ in range(20):
+            vc = jnp.asarray(rng.normal(size=3))
+            G = -jax.jacfwd(
+                lambda v: sap._project_gamma((vhat - v) / R, R, mu)
+            )(vc)
+            eigs = np.linalg.eigvalsh(np.asarray(0.5 * (G + G.T)))
+            assert eigs.min() > -1e-10
+
+
+class TestBallOnGround:
+    def test_resting_contact(self):
+        model, params, scene, r, m = make_ball()
+        dsys = cplant.make_discrete_system(model, params, scene, 1e-3)
+        x0 = model.default_state(F64).at[6].set(0.2)
+        us = jnp.zeros((600, 0), dtype=F64)
+        xs = simulator.simulate_discrete(dsys, params, x0, us)
+        assert abs(float(xs[-1, 6]) - r) < 1e-4  # rests at z = radius
+        assert abs(float(xs[-1, 12])) < 1e-8  # zero vertical velocity
+        # No penetration blow-through on impact.
+        assert float(xs[:, 6].min()) > r - 5e-4
+
+    @staticmethod
+    def _settle(model, params, scene, h, steps=300):
+        """Scan to the compliant resting equilibrium; returns settled q."""
+        dsys = cplant.make_discrete_system(model, params, scene, h)
+        x0 = model.default_state(F64).at[6].set(0.05)
+        us = jnp.zeros((steps, 0), dtype=F64)
+        xs = simulator.simulate_discrete(dsys, params, x0, us)
+        return xs[-1, :7]
+
+    def test_normal_impulse_at_rest(self):
+        """Settled resting contact: impulse = m g h (momentum balance)."""
+        model, params, scene, r, m = make_ball()
+        h = 1e-3
+        q = self._settle(model, params, scene, h)
+        v = jnp.zeros(6, dtype=F64)
+        _, v1, sol, _ = cplant.step_with_forces(
+            model, params, scene, q, v, jnp.zeros(6, F64), h
+        )
+        np.testing.assert_allclose(
+            float(sol.gamma[0, 2]), m * 9.81 * h, rtol=1e-3
+        )
+        assert float(jnp.abs(v1).max()) < 1e-6
+
+    @staticmethod
+    def _make_cube(mu, mass=0.5, side=0.1):
+        b = ModelBuilder()
+        I = mass * side**2 / 6.0
+        b.add_body("cube", parent=None, joint_type=FLOATING, mass=mass,
+                   inertia_com=np.eye(3) * I)
+        model, params = b.build(F64)
+        geoms = [
+            CollisionGeometry(name="ground", body=-1, shape=sh.HalfSpace(),
+                              friction=mu),
+            CollisionGeometry(name="cube", body=0,
+                              shape=sh.Box((side, side, side)),
+                              friction=mu, stiffness=1e6, dissipation=0.1),
+        ]
+        scene = CollisionScene.build(geoms)
+        return model, params, scene, side
+
+    @staticmethod
+    def _settle_cube(model, params, scene, h, z0, steps=300):
+        dsys = cplant.make_discrete_system(model, params, scene, h)
+        x0 = model.default_state(F64).at[6].set(z0)
+        us = jnp.zeros((steps, 0), dtype=F64)
+        xs = simulator.simulate_discrete(dsys, params, x0, us)
+        return xs[-1, :7]
+
+    def test_stiction_below_friction_limit(self):
+        """A cube pushed below mu*m*g must stick (PizzaSaver-style check;
+        a sphere would roll, so the flat contact patch is essential)."""
+        mu = 0.5
+        m = 0.5
+        model, params, scene, side = self._make_cube(mu, mass=m)
+        h = 1e-3
+        q = self._settle_cube(model, params, scene, h, side / 2)
+        v = jnp.zeros(6, dtype=F64)
+        fx = 0.9 * mu * m * 9.81
+        fext = jnp.zeros((1, 6), dtype=F64).at[0, 3].set(fx)
+        data, contact = sap.assemble(
+            model, params, scene, q, v, jnp.zeros(6, F64), h,
+            external_forces_W=fext,
+        )
+        sol = sap.solve_sap(data, data.v_star)
+        # Regularized stiction: residual slip ~ Rt * gamma_t, not exactly 0.
+        slip_scale = float(jnp.max(data.R[:, 0])) * fx * h
+        assert float(jnp.abs(sol.v[3])) < 10 * slip_scale
+        # Momentum balance: push impulse = friction impulse + slip momentum.
+        gt_total = float(jnp.linalg.norm(jnp.sum(sol.gamma[:, :2], axis=0)))
+        slip_momentum = m * float(jnp.abs(sol.v[3]))
+        np.testing.assert_allclose(gt_total + slip_momentum, fx * h, rtol=1e-6)
+
+    def test_sliding_cube_decelerates_at_mu_g(self):
+        """A cube sliding at 1 m/s decelerates at mu*g until it stops
+        (steady Coulomb sliding; no rolling possible for a flat patch)."""
+        mu = 0.3
+        m = 0.5
+        model, params, scene, side = self._make_cube(mu, mass=m)
+        h = 1e-3
+        q = self._settle_cube(model, params, scene, h, side / 2)
+        dsys = cplant.make_discrete_system(model, params, scene, h)
+        x0 = jnp.concatenate([q, jnp.zeros(6, F64)]).at[10].set(1.0)
+        n_steps = 250
+        us = jnp.zeros((n_steps, 0), dtype=F64)
+        xs = simulator.simulate_discrete(dsys, params, x0, us)
+        vx = np.asarray(xs[:, 10])
+        # Deceleration slope over the steady sliding phase (skip the initial
+        # compliant-impact transient in the first ~100 steps).
+        a = (vx[220] - vx[120]) / (100 * h)
+        np.testing.assert_allclose(a, -mu * 9.81, rtol=2e-2)
+        # Eventually stops (within the horizon: 1/(mu g) = 0.34 s).
+        assert abs(vx[-1]) < 0.31
+
+    def test_slide_to_roll_transition(self):
+        """Textbook: a sphere sliding at v0 transitions to pure rolling at
+        exactly 5/7 v0 (independent of mu) and then rolls at constant speed.
+        NOTE floating-joint velocities are body-frame; convert to world."""
+        from drake_tpu.math import rotations as rot
+
+        mu = 0.3
+        model, params, scene, r, m = make_ball(mu=mu)
+        dsys = cplant.make_discrete_system(model, params, scene, 1e-3)
+        x0 = model.default_state(F64).at[6].set(r).at[10].set(1.0)  # vx = 1
+        us = jnp.zeros((300, 0), dtype=F64)
+        xs = simulator.simulate_discrete(dsys, params, x0, us)
+
+        def world_v(x):
+            R = rot.quat_to_rotation(x[:4])
+            return R @ x[10:13], R @ x[7:10]
+
+        v_end, w_end = world_v(xs[-1])
+        np.testing.assert_allclose(float(v_end[0]), 5.0 / 7.0, atol=0.02)
+        # Pure rolling: slip = vx - r*wy ~ 0.
+        slip = float(v_end[0] - r * w_end[1])
+        assert abs(slip) < 1e-3
+
+
+class TestGradients:
+    def test_ift_gradient_through_step(self):
+        """d v_next / d v0 via the custom_vjp matches finite differences."""
+        model, params, scene, r, m = make_ball()
+        h = 1e-3
+        q = model.default_state(F64)[:7].at[6].set(r + 1e-5)
+
+        def step_vx(v0x):
+            v0 = jnp.zeros(6, dtype=F64).at[3].set(v0x)
+            data, _ = sap.assemble(
+                model, params, scene, q, v0, jnp.zeros(6, F64), h
+            )
+            sol = sap.solve_sap(data, data.v_star)
+            return sol.v[3]
+
+        g = jax.grad(step_vx)(jnp.asarray(0.5, F64))
+        eps = 1e-6
+        fd = (step_vx(jnp.asarray(0.5 + eps, F64)) - step_vx(jnp.asarray(0.5 - eps, F64))) / (
+            2 * eps
+        )
+        np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
+
+    def test_vmap_batch_steps(self):
+        model, params, scene, r, m = make_ball()
+        dsys = cplant.make_discrete_system(model, params, scene, 1e-3)
+        rng = np.random.default_rng(3)
+        x0 = model.default_state(F64).at[6].set(r)
+        x0s = jnp.tile(x0[None], (8, 1))
+        x0s = x0s.at[:, 10].set(jnp.asarray(rng.uniform(0, 2, 8)))
+        xs = jax.vmap(lambda x: dsys.g(params, x, jnp.zeros(0, F64), 0.0))(x0s)
+        assert xs.shape == (8, 13)
+        assert bool(jnp.all(jnp.isfinite(xs)))
