@@ -56,7 +56,7 @@ class SqpOptions:
     opt_tol: float = 1e-4  # accepted-step-size stationarity tolerance
     penalty0: float = 10.0
     penalty_factor: float = 10.0
-    penalty_max: float = 1e4
+    penalty_max: float = 1e6
     armijo: float = 1e-4
     line_search_steps: int = 25
     hessian_reg: float = 1e-6
