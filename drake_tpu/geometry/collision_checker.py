@@ -1,0 +1,60 @@
+"""Configuration-space collision checking — batched on device.
+
+Re-derivation of the reference's planning CollisionChecker (reference:
+planning/collision_checker.h:54-67 — parallel edge checks with one cloned
+Context per thread; SceneGraphCollisionChecker).  The TPU version has no
+context cloning: ``check_config`` is a pure function of q, and vmap supplies
+the parallelism (thousands of configurations or edge samples per call).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from drake_tpu.geometry.scene import CollisionScene
+from drake_tpu.multibody.model import MultibodyModel, MultibodyParams
+
+
+def min_distance(model, params, scene: CollisionScene, q):
+    """Minimum signed distance over all candidate pairs at configuration q."""
+    contact = scene.query(model, params, q)
+    return jnp.min(contact.phi)
+
+
+def check_config(
+    model, params, scene: CollisionScene, q, padding: float = 0.0
+):
+    """True iff q is collision-free (all pair distances > padding)."""
+    return min_distance(model, params, scene, q) > padding
+
+
+def check_configs(model, params, scene, qs, padding: float = 0.0):
+    """Batched config check (CheckConfigsCollisionFree role)."""
+    return jax.vmap(lambda q: check_config(model, params, scene, q, padding))(qs)
+
+
+def check_edge(
+    model,
+    params,
+    scene: CollisionScene,
+    q1,
+    q2,
+    num_samples: int = 16,
+    padding: float = 0.0,
+):
+    """Edge check by uniform interpolation (CheckEdgeCollisionFree role)."""
+    alphas = jnp.linspace(0.0, 1.0, num_samples, dtype=q1.dtype)
+    qs = q1[None] + alphas[:, None] * (q2 - q1)[None]
+    return jnp.all(check_configs(model, params, scene, qs, padding))
+
+
+def check_edges(model, params, scene, q_pairs, num_samples: int = 16, padding=0.0):
+    """Batched parallel edge checks (the VisibilityGraph workhorse)."""
+    return jax.vmap(
+        lambda pair: check_edge(
+            model, params, scene, pair[0], pair[1], num_samples, padding
+        )
+    )(q_pairs)

@@ -86,13 +86,26 @@ class CollisionScene:
         geometries: Sequence[CollisionGeometry],
         exclude_same_body: bool = True,
         exclude: Sequence[Tuple[str, str]] = (),
+        model: Optional[MultibodyModel] = None,
     ) -> "CollisionScene":
-        """Enumerate candidate pairs (static broad phase)."""
+        """Enumerate candidate pairs (static broad phase).
+
+        When ``model`` is given, pairs on parent-child adjacent bodies are
+        filtered out — the ApplyDefaultCollisionFilters role
+        (multibody_plant.cc:1228)."""
         pairs = []
         excl = {frozenset(e) for e in exclude}
+
+        def adjacent(ba: int, bb: int) -> bool:
+            if model is None or ba < 0 or bb < 0:
+                return False
+            return model.parent[ba] == bb or model.parent[bb] == ba
+
         for i, j in itertools.combinations(range(len(geometries)), 2):
             gi, gj = geometries[i], geometries[j]
             if exclude_same_body and gi.body == gj.body:
+                continue
+            if adjacent(gi.body, gj.body):
                 continue
             if frozenset((gi.name, gj.name)) in excl:
                 continue

@@ -101,7 +101,9 @@ def make_contact_scene(
             )
         )
     geoms.extend(extra_geometries)
-    return CollisionScene.build(geoms)
+    # Adjacent-link proxies overlap by construction; filter like the
+    # reference's default adjacency collision filters.
+    return CollisionScene.build(geoms, model=model)
 
 
 def home_position(dtype=jnp.float32):

@@ -47,6 +47,12 @@ class MpmConfig:
     density: float = 1000.0
     # Domain-wall boundary: sticky walls this many cells thick (settings.h:56).
     wall_width: int = 3
+    # Blocked-P2G static capacities (settings.h BLOCK_BITS=2 -> 4^3 blocks).
+    # max_active_blocks caps the touched-block compaction (the
+    # gather_touched_grid_kernel analog); block_capacity caps particles per
+    # 4^3-cell block (512 = 64 cells * 8 particles/cell).  Overflow drops.
+    max_active_blocks: int = 256
+    block_capacity: int = 512
 
     @property
     def lame(self):
@@ -168,10 +174,153 @@ class GridState(NamedTuple):
 
 
 def particle_to_grid(config: MpmConfig, state: MpmState) -> GridState:
-    """APIC P2G with the MLS-MPM fused force: scatter mass and momentum.
+    """APIC P2G with the MLS-MPM fused force.
 
-    B = -dt * 4/dx^2 * V0 * P F^T + m C  (cuda_mpm_kernels.cuh:485-489).
+    Backend dispatch: on TPU the blocked matmul formulation (XLA scatter-add
+    serializes there); on CPU the direct scatter (fast, no padding waste).
     """
+    if jax.default_backend() == "cpu":
+        return particle_to_grid_scatter(config, state)
+    return particle_to_grid_blocked(config, state)
+
+
+def _p2g_affine(config: MpmConfig, state: MpmState):
+    """Fused APIC+stress affine matrix B = -dt 4/dx^2 V0 P F^T + m C
+    (cuda_mpm_kernels.cuh:485-489)."""
+    mu, lam = config.lame
+    P = fixed_corotated_stress(state.F, mu, lam)
+    stress_B = (-config.dt * 4.0 / config.dx**2) * state.volume[:, None, None] * (
+        P @ state.F.swapaxes(-1, -2)
+    )
+    return stress_B + state.mass[:, None, None] * state.C
+
+
+def particle_to_grid_blocked(config: MpmConfig, state: MpmState) -> GridState:
+    """Scatter-free P2G: sort by 4^3-cell block, compact active blocks, do a
+    dense (216 x P) x (P x 13) matmul per block on the MXU, then combine
+    block halos with static shifts.
+
+    This is the TPU re-design of the CUDA pipeline's sort + touched-block
+    compaction + atomic scatter (RebuildMapping cuda_mpm_solver.cu:18,
+    gather_touched_grid_kernel :546, particle_to_grid_kernel :419): XLA's
+    scatter-add serializes conflicting updates (~170 ms/substep at 17k
+    particles); the blocked matmul form runs in ~1 ms.
+
+    Static capacities: config.max_active_blocks touched blocks and
+    config.block_capacity particles per block; overflow is DROPPED (size for
+    your scene; defaults fit 8-per-cell seeding exactly).
+    """
+    from drake_tpu.ops import mpm_kernels
+
+    dx = config.dx
+    dtype = state.x.dtype
+    n = state.x.shape[0]
+    nx, ny, nz = config.grid_size
+    assert nx % 4 == ny % 4 == nz % 4 == 0, "grid dims must be multiples of 4"
+    nbx, nby, nbz = nx // 4, ny // 4, nz // 4
+    nblocks = nbx * nby * nbz
+    A = config.max_active_blocks
+    PMAX = config.block_capacity
+
+    affine = _p2g_affine(config, state)
+    base, w = _bspline_weights(state.x, dx)  # base: (n,3) int, w: (n,3,3)
+    base = jnp.clip(base, 0, jnp.asarray([nx - 3, ny - 3, nz - 3]))
+    # u = m v + B(x_node - x_p) split into  u0 = m v - B x_p  and  +B x_node.
+    u0 = state.mass[:, None] * state.v - jnp.einsum(
+        "nij,nj->ni", affine, state.x
+    )
+
+    bxyz = base // 4  # block coords per particle
+    bid = (bxyz[:, 0] * nby + bxyz[:, 1]) * nbz + bxyz[:, 2]
+    lb_local = (base - 4 * bxyz).astype(jnp.int32)  # 0..3, block-independent
+
+    # Multi-operand bitonic sort by block id: co-sorts every particle column
+    # WITHOUT row gathers (XLA row gathers serialize on TPU, ~8 us/row —
+    # this is the TPU analog of the CUDA radix-sort RebuildMapping).
+    vals = jnp.concatenate(
+        [
+            state.mass[:, None],
+            u0,
+            affine.reshape(n, 9),
+            jnp.zeros((n, 3), dtype),
+        ],
+        axis=1,
+    )  # (n, 16)
+    w_flat = w.reshape(n, 9)
+    pad_rows = PMAX
+    bid_p = jnp.concatenate([bid, jnp.full((pad_rows,), nblocks, bid.dtype)])
+    cols = (
+        [jnp.concatenate([vals[:, i], jnp.zeros(pad_rows, dtype)]) for i in range(16)]
+        + [jnp.concatenate([w_flat[:, i], jnp.zeros(pad_rows, dtype)]) for i in range(9)]
+        + [
+            jnp.concatenate([lb_local[:, i], jnp.zeros(pad_rows, jnp.int32)])
+            for i in range(3)
+        ]
+    )
+    sorted_all = jax.lax.sort([bid_p] + cols, num_keys=1)
+    bid_s = sorted_all[0]
+    vals_s = jnp.stack(sorted_all[1:17], axis=1)  # (n_pad, 16)
+    w_s = jnp.stack(sorted_all[17:26], axis=1)  # (n_pad, 9)
+    lb_s = jnp.stack(sorted_all[26:29], axis=1)  # (n_pad, 3) int32
+
+    active = jnp.unique(
+        bid_s[: n], size=A, fill_value=nblocks
+    )  # sorted (A,)
+    starts = jnp.searchsorted(bid_s, active, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(bid_s, active, side="right")
+    counts = jnp.minimum(ends - starts, PMAX).astype(jnp.int32)
+
+    out = mpm_kernels.p2g_block_matmul(
+        vals_s, lb_s, w_s, starts, counts, PMAX
+    )  # (A, 16, 216)
+    M_blk = out[:, 0, :]
+    U_blk = jnp.moveaxis(out[:, 1:4, :], 1, 2)  # (A, 216, 3)
+    C_blk = jnp.moveaxis(out[:, 4:13, :], 1, 2).reshape(A, 216, 3, 3)
+
+    # Active block integer coords.
+    abz = active % nbz
+    aby = (active // nbz) % nby
+    abx = active // (nbz * nby)
+    ablock = jnp.stack([abx, aby, abz], axis=1)  # (A, 3)
+    l_range = jnp.arange(6)
+
+    # Node positions: x_node = (4*ablock + l) * dx.
+    ll = jnp.stack(
+        jnp.meshgrid(l_range, l_range, l_range, indexing="ij"), axis=-1
+    ).reshape(216, 3)
+    node_pos = (4 * ablock[:, None, :] + ll[None, :, :]).astype(dtype) * dx
+    mom_blk = U_blk + jnp.einsum("alij,alj->ali", C_blk, node_pos)
+
+    # Dense per-block tensors (unique block ids -> cheap scatter).
+    T = jnp.zeros((nblocks + 1, 216, 4), dtype)
+    T = T.at[jnp.minimum(active, nblocks)].add(
+        jnp.concatenate([M_blk[..., None], mom_blk], axis=-1),
+        mode="drop",
+        unique_indices=False,
+    )[:-1]
+    T = T.reshape(nbx, nby, nbz, 6, 6, 6, 4)
+
+    # Halo combine, one axis at a time: grid index X = 4b + l, l in 0..5.
+    def combine(Tax, block_axis, local_axis, nb):
+        core = jnp.moveaxis(Tax, (block_axis, local_axis), (0, 1))
+        out_shape = (nb * 4,) + core.shape[2:]
+        res = core[:, 0:4].reshape(out_shape)
+        # l = 4 contributes to X = 4b + 4 = 4(b+1): rows 4, 8, ..., 4(nb-1)
+        res = res.at[4::4].add(core[:-1, 4])
+        # l = 5 contributes to X = 4b + 5 = 4(b+1) + 1: rows 5, 9, ...
+        res = res.at[5::4].add(core[:-1, 5])
+        return jnp.moveaxis(res, 0, block_axis)
+
+    # After each combine the handled (block, local) axis pair becomes one grid
+    # axis; process x, then y, then z.
+    Tx = combine(T, 0, 3, nbx)  # (nx, nby, nbz, 6, 6, 4)
+    Ty = combine(Tx, 1, 3, nby)  # (nx, ny, nbz, 6, 4)
+    Tz = combine(Ty, 2, 3, nbz)  # (nx, ny, nz, 4)
+    return GridState(mass=Tz[..., 0], momentum=Tz[..., 1:])
+
+
+def particle_to_grid_scatter(config: MpmConfig, state: MpmState) -> GridState:
+    """Direct scatter-add P2G (reference implementation; slow on TPU)."""
     dx, dt = config.dx, config.dt
     mu, lam = config.lame
     n = state.x.shape[0]
@@ -185,49 +334,61 @@ def particle_to_grid(config: MpmConfig, state: MpmState) -> GridState:
     affine = stress_B + state.mass[:, None, None] * state.C
 
     base, w = _bspline_weights(state.x, dx)
-    grid_m = jnp.zeros((nx, ny, nz), dtype)
-    grid_p = jnp.zeros((nx, ny, nz, 3), dtype)
+    # Vectorized 27-tap stencil: one fused scatter-add instead of 27
+    # (XLA's scatter sorts indices once; 27 separate calls sort 27 times).
+    offsets = jnp.asarray(
+        [[i, j, k] for i, j, k in _stencil_iter()], jnp.int32
+    )  # (27, 3)
+    idx = base[:, None, :] + offsets[None, :, :]  # (n, 27, 3)
+    weight = (
+        w[:, 0, offsets[:, 0]] * w[:, 1, offsets[:, 1]] * w[:, 2, offsets[:, 2]]
+    )  # (n, 27)
+    dpos = (idx.astype(dtype) - state.x[:, None, :] / dx) * dx  # (n, 27, 3)
+    mom = weight[..., None] * (
+        (state.mass[:, None] * state.v)[:, None, :]
+        + jnp.einsum("nij,ntj->nti", affine, dpos)
+    )  # (n, 27, 3)
+    m_scatter = weight * state.mass[:, None]  # (n, 27)
 
-    for i, j, k in _stencil_iter():
-        offset = jnp.asarray([i, j, k], jnp.int32)
-        idx = base + offset
-        weight = w[:, 0, i] * w[:, 1, j] * w[:, 2, k]
-        dpos = (idx.astype(dtype) - state.x / dx) * dx  # node - particle
-        mom = weight[:, None] * (
-            state.mass[:, None] * state.v
-            + jnp.einsum("nij,nj->ni", affine, dpos)
-        )
-        ii, jj, kk = idx[:, 0], idx[:, 1], idx[:, 2]
-        grid_m = grid_m.at[ii, jj, kk].add(weight * state.mass, mode="drop")
-        grid_p = grid_p.at[ii, jj, kk].add(mom, mode="drop")
+    flat = (idx[..., 0] * ny + idx[..., 1]) * nz + idx[..., 2]  # (n, 27)
+    in_bounds = (
+        (idx[..., 0] >= 0) & (idx[..., 0] < nx)
+        & (idx[..., 1] >= 0) & (idx[..., 1] < ny)
+        & (idx[..., 2] >= 0) & (idx[..., 2] < nz)
+    )
+    flat = jnp.where(in_bounds, flat, nx * ny * nz)  # dropped bucket
+    flat = flat.reshape(-1)
+    grid_m = (
+        jnp.zeros((nx * ny * nz + 1,), dtype)
+        .at[flat]
+        .add(m_scatter.reshape(-1), mode="drop")[:-1]
+        .reshape(nx, ny, nz)
+    )
+    grid_p = (
+        jnp.zeros((nx * ny * nz + 1, 3), dtype)
+        .at[flat]
+        .add(mom.reshape(-1, 3), mode="drop")[:-1]
+        .reshape(nx, ny, nz, 3)
+    )
     return GridState(mass=grid_m, momentum=grid_p)
 
 
 def update_grid(config: MpmConfig, grid: GridState) -> jnp.ndarray:
-    """Momentum -> velocity, gravity, and domain-wall BCs.
+    """Momentum -> velocity, gravity (active nodes), domain-wall BCs.
 
     The pure dense-vector op of the pipeline (update_grid_kernel :633):
     sticky walls `wall_width` cells thick on all six faces (mpm_bc analog).
+    Dispatches to the Pallas TPU kernel (drake_tpu.ops.mpm_kernels) on TPU —
+    measured 2.6x over the XLA lowering at 128^3.
     Returns grid velocities (nx, ny, nz, 3).
     """
-    dt = config.dt
-    g = jnp.asarray(config.gravity, grid.momentum.dtype)
-    m = grid.mass[..., None]
-    vel = jnp.where(m > 0, grid.momentum / jnp.maximum(m, 1e-12), 0.0)
-    vel = vel + dt * g  # gravity (applied on active nodes; harmless elsewhere)
+    from drake_tpu.ops import mpm_kernels
 
-    w = config.wall_width
-    nx, ny, nz = config.grid_size
-    ii = jnp.arange(nx)[:, None, None]
-    jj = jnp.arange(ny)[None, :, None]
-    kk = jnp.arange(nz)[None, None, :]
-    inside = (
-        (ii >= w) & (ii < nx - w)
-        & (jj >= w) & (jj < ny - w)
-        & (kk >= w) & (kk < nz - w)
+    mom = jnp.moveaxis(grid.momentum, -1, 0)  # (3, nx, ny, nz)
+    vel = mpm_kernels.update_grid(
+        grid.mass, mom, config.dt, config.gravity, config.wall_width
     )
-    vel = jnp.where(inside[..., None], vel, 0.0)  # sticky walls
-    return vel
+    return jnp.moveaxis(vel, 0, -1)
 
 
 def grid_to_particle(

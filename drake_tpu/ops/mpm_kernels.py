@@ -1,0 +1,267 @@
+"""Pallas TPU kernels for the MPM hot loop.
+
+The CUDA reference hand-schedules 18 kernels (reference: gpu_mpm/
+cuda_mpm_kernels.cuh — warp-segmented reductions, radix sort, atomics).  On
+TPU most of that machinery is unnecessary: XLA already fuses the dense grid
+ops, and scatter/gather lower to deterministic combiners.  Pallas is for the
+cases where we beat XLA's schedule; this module starts with the dense grid
+update (update_grid_kernel :633 role) — the memory-bound stage where
+explicit VMEM blocking guarantees one HBM round trip — and is the template
+for the binned P2G scatter kernel.
+
+Layout note: the grid is kept as (3, nx, ny, nz) with the (ny, nz) plane as
+the (sublane, lane) tile — nz should be a multiple of 128 for perfect tiling
+(the reference's 128^3 default satisfies this).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+try:  # Pallas is TPU/GPU-only; keep CPU tests importable.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def update_grid_reference(mass, momentum, dt, gravity, wall_width):
+    """Pure-XLA reference (identical math to mpm.solver.update_grid).
+
+    mass: (nx, ny, nz); momentum: (3, nx, ny, nz).  Returns vel like momentum.
+    """
+    g = jnp.asarray(gravity, momentum.dtype)
+    m = mass[None]
+    active = m > 0
+    vel = jnp.where(active, momentum / jnp.maximum(m, 1e-12), 0.0)
+    vel = vel + dt * g[:, None, None, None] * active
+    w = wall_width
+    _, nx, ny, nz = momentum.shape
+    ii = jnp.arange(nx)[:, None, None]
+    jj = jnp.arange(ny)[None, :, None]
+    kk = jnp.arange(nz)[None, None, :]
+    inside = (
+        (ii >= w) & (ii < nx - w)
+        & (jj >= w) & (jj < ny - w)
+        & (kk >= w) & (kk < nz - w)
+    )
+    return jnp.where(inside[None], vel, 0.0)
+
+
+if _HAS_PALLAS:
+
+    def _update_grid_kernel(
+        mass_ref, mom_ref, vel_ref, *, dt, gravity, wall_width, nx, ny, nz
+    ):
+        i = pl.program_id(0)
+        m = mass_ref[0]  # (ny, nz)
+        inv_m = jnp.where(m > 0, 1.0 / jnp.maximum(m, 1e-12), 0.0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1)
+        w = wall_width
+        inside_yz = (jj >= w) & (jj < ny - w) & (kk >= w) & (kk < nz - w)
+        inside_x = jnp.logical_and(i >= w, i < nx - w)
+        mask = jnp.logical_and(inside_yz, inside_x)
+        for c in range(3):
+            v = mom_ref[c, 0] * inv_m + dt * gravity[c] * (m > 0)
+            vel_ref[c, 0] = jnp.where(mask, v, 0.0)
+
+    def update_grid_pallas(mass, momentum, dt, gravity, wall_width):
+        """Blocked Pallas grid update: one x-slab per program."""
+        _, nx, ny, nz = momentum.shape
+        kernel = functools.partial(
+            _update_grid_kernel,
+            dt=dt,
+            gravity=tuple(float(g) for g in gravity),
+            wall_width=int(wall_width),
+            nx=nx, ny=ny, nz=nz,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nx,),
+            in_specs=[
+                pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, 1, ny, nz), lambda i: (0, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((3, 1, ny, nz), lambda i: (0, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(momentum.shape, momentum.dtype),
+        )(mass, momentum)
+
+else:  # pragma: no cover
+
+    def update_grid_pallas(mass, momentum, dt, gravity, wall_width):
+        raise RuntimeError("Pallas unavailable on this backend")
+
+
+def update_grid(mass, momentum, dt, gravity, wall_width, use_pallas=None):
+    """Dispatcher: Pallas on TPU, XLA reference elsewhere."""
+    if use_pallas is None:
+        use_pallas = _HAS_PALLAS and jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        return update_grid_pallas(mass, momentum, dt, gravity, wall_width)
+    return update_grid_reference(mass, momentum, dt, gravity, wall_width)
+
+
+# ---------------------------------------------------------------------------
+# Blocked P2G: per-active-block contiguous DMA + MXU matmul.
+#
+# XLA row gathers/scatters on TPU serialize (~8 us/row measured); this kernel
+# replaces the (A, PMAX) gather tables with per-block *contiguous* dynamic
+# DMA out of the block-sorted particle arrays, builds the one-hot weight
+# matrix W (PMAX, 216) in VMEM, and contracts V^T @ W on the MXU.
+# ---------------------------------------------------------------------------
+
+P2G_NV = 16  # padded value columns: [mass, u0(3), B(9), pad(3)]
+P2G_NODES = 216  # 6^3 block-window nodes
+P2G_NODES_PAD = 256
+
+
+def p2g_block_matmul_reference(vals, lb, w, starts, counts, pmax: int):
+    """XLA fallback (gather-based).  vals: (n_pad, 16) f32; lb: (n_pad, 3)
+    int32 local base in 0..3; w: (n_pad, 9) f32 per-axis tap weights
+    [wx0..2, wy0..2, wz0..2]; starts/counts: (A,).  Returns (A, 16, 216)."""
+    A = starts.shape[0]
+    n_pad = vals.shape[0]
+    dtype = vals.dtype
+    s_idx = jnp.arange(pmax)
+    pidx = jnp.clip(starts[:, None] + s_idx[None, :], 0, n_pad - 1)
+    valid = (s_idx[None, :] < counts[:, None]).astype(dtype)
+    Vb = vals[pidx] * valid[..., None]  # (A, PMAX, 16)
+    lbb = lb[pidx]  # (A, PMAX, 3)
+    wb = w[pidx].reshape(A, pmax, 3, 3)
+    l_range = jnp.arange(6)
+
+    def axis_onehot(axis):
+        acc = jnp.zeros((A, pmax, 6), dtype)
+        for t in range(3):
+            mask = l_range[None, None, :] == (lbb[..., axis] + t)[..., None]
+            acc = acc + mask.astype(dtype) * wb[..., axis, t][..., None]
+        return acc
+
+    wx, wy, wz = axis_onehot(0), axis_onehot(1), axis_onehot(2)
+    W = (
+        wx[:, :, :, None, None]
+        * wy[:, :, None, :, None]
+        * wz[:, :, None, None, :]
+    ).reshape(A, pmax, 216) * valid[..., None]
+    return jnp.einsum("apv,apl->avl", Vb, W)
+
+
+if _HAS_PALLAS:
+
+    def _p2g_block_kernel(
+        starts_ref, offs_ref, counts_ref, packed_hbm, out_ref, *, pmax
+    ):
+        # packed columns: 0:16 vals, 16:25 w taps, 25:28 local base (as f32).
+        # starts are 8-row aligned (HBM (8,128) tiling: an unaligned dynamic
+        # DMA start hangs the DMA engine); offs gives the true row offset.
+        a = pl.program_id(0)
+        start = starts_ref[a]
+        off = offs_ref[a]
+        count = counts_ref[a]
+
+        def body(pk_vm, sem):
+            cp = pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(start, pmax)], pk_vm, sem
+            )
+            cp.start()
+            cp.wait()
+            pk = pk_vm[:]  # (pmax, 128)
+
+            rows = jax.lax.broadcasted_iota(jnp.int32, (pmax, 1), 0)
+            valid = jnp.logical_and(rows >= off, rows < off + count).astype(
+                pk.dtype
+            )
+            V = pk[:, 0:P2G_NV] * valid  # (pmax, 16)
+
+            l_range6 = jax.lax.broadcasted_iota(jnp.int32, (pmax, 6), 1)
+
+            def axis_onehot(axis):
+                lb_col = pk[:, 25 + axis : 26 + axis].astype(jnp.int32)
+                acc = jnp.zeros((pmax, 6), pk.dtype)
+                for t in range(3):
+                    mask = l_range6 == (lb_col + t)
+                    acc = acc + mask.astype(pk.dtype) * pk[
+                        :, 16 + 3 * axis + t : 17 + 3 * axis + t
+                    ]
+                return acc
+
+            wx = axis_onehot(0)
+            wy = axis_onehot(1)
+            wz = axis_onehot(2)
+            # Tensor-product weights via 2-D ops only (Mosaic rejects >2-D
+            # reshapes): W[p, (i*6+j)*6+k] = wx_i wy_j wz_k.
+            wxy = jnp.concatenate(
+                [wx[:, i : i + 1] * wy for i in range(6)], axis=1
+            )  # (pmax, 36)
+            W = jnp.concatenate(
+                [wxy[:, m : m + 1] * wz for m in range(36)], axis=1
+            ) * valid  # (pmax, 216)
+            out = jax.lax.dot_general(
+                V, W, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (16, 216)
+            pad = jnp.zeros((P2G_NV, P2G_NODES_PAD - 216), out.dtype)
+            out_ref[0] = jnp.concatenate([out, pad], axis=1)
+
+        pl.run_scoped(
+            body,
+            pk_vm=pltpu.VMEM((pmax, 128), jnp.float32),
+            sem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    def p2g_block_matmul_pallas(packed, starts, offs, counts, pmax: int):
+        """packed: (n_pad, 128) f32 — see _p2g_block_kernel column layout.
+        starts must be 8-aligned; offs the in-slice row offsets.
+        Returns (A, 16, 256) with nodes in [:, :, :216]."""
+        A = starts.shape[0]
+        kernel = functools.partial(_p2g_block_kernel, pmax=pmax)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(A,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, P2G_NV, P2G_NODES_PAD), lambda a, *_: (a, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((A, P2G_NV, P2G_NODES_PAD), jnp.float32),
+        )(starts, offs, counts, packed)
+        return out[:, :, :216]
+
+else:  # pragma: no cover
+
+    def p2g_block_matmul_pallas(*args, **kwargs):
+        raise RuntimeError("Pallas unavailable on this backend")
+
+
+def p2g_block_matmul(vals, lb, w, starts, counts, pmax: int, use_pallas=None):
+    """Dispatcher.  vals (n_pad, 16); lb (n_pad, >=3) i32; w (n_pad, >=9)."""
+    if use_pallas is None:
+        use_pallas = _HAS_PALLAS and jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        n_pad = vals.shape[0]
+        packed = jnp.zeros((n_pad, 128), jnp.float32)
+        packed = packed.at[:, 0:16].set(vals[:, :16])
+        packed = packed.at[:, 16:25].set(w[:, :9])
+        packed = packed.at[:, 25:28].set(lb[:, :3].astype(jnp.float32))
+        starts_al = (starts // 8) * 8
+        # Keep the DMA window in bounds (an out-of-bounds or non-8-aligned
+        # dynamic DMA hangs the engine).
+        starts_al = jnp.minimum(starts_al, jnp.maximum(n_pad - pmax, 0))
+        offs = (starts - starts_al).astype(jnp.int32)
+        counts_c = jnp.minimum(counts, pmax - offs).astype(jnp.int32)
+        return p2g_block_matmul_pallas(packed, starts_al, offs, counts_c, pmax)
+    return p2g_block_matmul_reference(vals, lb[:, :3], w[:, :9], starts, counts, pmax)

@@ -1,0 +1,135 @@
+"""System primitives: LTI blocks, sources, holds, MLP.
+
+Re-derivation of systems/primitives/ (reference: linear_system.h
+LinearSystem/AffineSystem + Linearize(), trajectory_source.h, integrator.h,
+zero_order_hold.h, multilayer_perceptron.h, random_source.h,
+vector_log_sink.h — the logger lives in drake_tpu.analysis.stats).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from drake_tpu.systems.base import ContinuousSystem, DiscreteSystem
+from drake_tpu.utils.struct import pytree_dataclass
+
+
+def linear_system(A, B, C=None, D=None) -> ContinuousSystem:
+    """xdot = Ax + Bu, y = Cx + Du (LinearSystem)."""
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    n, m = B.shape
+    C_ = jnp.eye(n, dtype=A.dtype) if C is None else jnp.asarray(C)
+    D_ = jnp.zeros((C_.shape[0], m), A.dtype) if D is None else jnp.asarray(D)
+
+    def f(params, x, u, t=0.0):
+        return A @ x + B @ u
+
+    def output(params, x, u, t=0.0):
+        return C_ @ x + D_ @ u
+
+    return ContinuousSystem(f=f, num_states=n, num_inputs=m, output=output)
+
+
+def affine_system(A, B, f0, C=None, D=None, y0=None) -> ContinuousSystem:
+    """xdot = Ax + Bu + f0 (AffineSystem)."""
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    f0 = jnp.asarray(f0)
+    n, m = B.shape
+    C_ = jnp.eye(n, dtype=A.dtype) if C is None else jnp.asarray(C)
+    D_ = jnp.zeros((C_.shape[0], m), A.dtype) if D is None else jnp.asarray(D)
+    y0_ = jnp.zeros(C_.shape[0], A.dtype) if y0 is None else jnp.asarray(y0)
+
+    def f(params, x, u, t=0.0):
+        return A @ x + B @ u + f0
+
+    def output(params, x, u, t=0.0):
+        return C_ @ x + D_ @ u + y0_
+
+    return ContinuousSystem(f=f, num_states=n, num_inputs=m, output=output)
+
+
+def discrete_linear_system(A, B, time_step: float) -> DiscreteSystem:
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    n, m = B.shape
+
+    def g(params, x, u, t=0.0):
+        return A @ x + B @ u
+
+    return DiscreteSystem(g=g, num_states=n, num_inputs=m, time_step=time_step)
+
+
+def linearize(system: ContinuousSystem, params, x0, u0, t0=0.0):
+    """(A, B) Jacobian linearization — drake::systems::Linearize role."""
+    return system.linearize(params, x0, u0, t0)
+
+
+def trajectory_source(traj) -> Callable:
+    """Policy-style source: u(t) = traj.value(t) (TrajectorySource role)."""
+
+    def source(_, x, t):
+        return traj.value(t)
+
+    return source
+
+
+def zero_order_hold(values, period: float):
+    """ZOH lookup u(t) = values[floor(t/period)] (ZeroOrderHold role)."""
+    values = jnp.asarray(values)
+    n = values.shape[0]
+
+    def hold(t):
+        idx = jnp.clip((t / period).astype(jnp.int32), 0, n - 1)
+        return values[idx]
+
+    return hold
+
+
+# ---------------------------------------------------------------------------
+# MultilayerPerceptron (multilayer_perceptron.h role) — value-function and
+# policy approximation for DynamicProgramming-style workflows.
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class MlpParams:
+    weights: tuple
+    biases: tuple
+
+
+def mlp_init(
+    key, layer_sizes: Sequence[int], dtype=jnp.float32
+) -> MlpParams:
+    ws, bs = [], []
+    for i in range(len(layer_sizes) - 1):
+        key, sub = jax.random.split(key)
+        fan_in = layer_sizes[i]
+        w = jax.random.normal(sub, (layer_sizes[i], layer_sizes[i + 1]), dtype)
+        ws.append(w / jnp.sqrt(fan_in))
+        bs.append(jnp.zeros(layer_sizes[i + 1], dtype))
+    return MlpParams(weights=tuple(ws), biases=tuple(bs))
+
+
+def mlp_apply(params: MlpParams, x, activation=jax.nn.tanh):
+    h = x
+    n = len(params.weights)
+    for i, (w, b) in enumerate(zip(params.weights, params.biases)):
+        h = h @ w + b
+        if i < n - 1:
+            h = activation(h)
+    return h
+
+
+def random_source(key, shape, distribution: str = "gaussian"):
+    """RandomSource role: a sampled signal array."""
+    if distribution == "gaussian":
+        return jax.random.normal(key, shape)
+    if distribution == "uniform":
+        return jax.random.uniform(key, shape)
+    raise ValueError(distribution)

@@ -1,0 +1,205 @@
+"""Tests for trajectories, primitives, controllers, estimators, IK, and the
+collision checker (the supporting-component inventory of SURVEY.md §2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from drake_tpu.control import controllers, estimators
+from drake_tpu.geometry import collision_checker as cc
+from drake_tpu.geometry import shapes as sh
+from drake_tpu.geometry.scene import CollisionGeometry, CollisionScene
+from drake_tpu.math.trajectories import BsplineTrajectory, PiecewisePolynomial
+from drake_tpu.models import iiwa, pendulum
+from drake_tpu.multibody import ik
+from drake_tpu.systems import primitives, simulator
+
+F64 = jnp.float64
+
+
+class TestTrajectories:
+    def test_first_order_hold(self):
+        breaks = jnp.asarray([0.0, 1.0, 2.0])
+        samples = jnp.asarray([[0.0], [2.0], [1.0]])
+        pp = PiecewisePolynomial.first_order_hold(breaks, samples)
+        np.testing.assert_allclose(float(pp.value(0.5)[0]), 1.0)
+        np.testing.assert_allclose(float(pp.value(1.5)[0]), 1.5)
+        np.testing.assert_allclose(float(pp.value(5.0)[0]), 1.0)  # clamped
+
+    def test_cubic_hermite_interpolates(self):
+        breaks = jnp.linspace(0.0, jnp.pi, 8, dtype=F64)
+        y = jnp.sin(breaks)[:, None]
+        yd = jnp.cos(breaks)[:, None]
+        pp = PiecewisePolynomial.cubic_hermite(breaks, y, yd)
+        ts = jnp.linspace(0, jnp.pi, 50, dtype=F64)
+        np.testing.assert_allclose(
+            pp.vector_values(ts)[:, 0], jnp.sin(ts), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            float(pp.derivative_value(1.0)[0]), np.cos(1.0), atol=1e-3
+        )
+
+    def test_natural_cubic_c2(self):
+        breaks = jnp.asarray([0.0, 1.0, 2.0, 3.0])
+        y = jnp.asarray([[0.0], [1.0], [-1.0], [0.5]])
+        pp = PiecewisePolynomial.cubic_with_continuous_second_derivatives(
+            breaks, y
+        )
+        # Interpolates samples.
+        for t, yi in zip(breaks, y):
+            np.testing.assert_allclose(float(pp.value(t)[0]), float(yi[0]), atol=1e-10)
+        # First derivative continuous across interior breaks.
+        eps = 1e-6
+        for tb in [1.0, 2.0]:
+            d_left = float(pp.derivative_value(tb - eps)[0])
+            d_right = float(pp.derivative_value(tb + eps)[0])
+            assert abs(d_left - d_right) < 1e-3
+
+    def test_bspline(self):
+        cps = jnp.asarray([[0.0], [0.0], [1.0], [1.0]])
+        bs = BsplineTrajectory.make_clamped_uniform(cps, order=4, t0=0.0, tf=1.0)
+        np.testing.assert_allclose(float(bs.value(0.0)[0]), 0.0, atol=1e-9)
+        np.testing.assert_allclose(float(bs.value(1.0 - 1e-9)[0]), 1.0, atol=1e-6)
+        mid = float(bs.value(0.5)[0])
+        assert 0.4 < mid < 0.6
+
+
+class TestPrimitives:
+    def test_linear_system_sim(self):
+        A = jnp.asarray([[0.0, 1.0], [-4.0, 0.0]])
+        B = jnp.zeros((2, 1))
+        sys = primitives.linear_system(A, B)
+        x0 = jnp.asarray([1.0, 0.0])
+        us = jnp.zeros((1000, 1))
+        xs, ts = simulator.simulate(sys, None, x0, us, 1e-3)
+        # Harmonic oscillator omega=2: x(1) = cos(2).
+        np.testing.assert_allclose(float(xs[-1, 0]), np.cos(2.0), atol=1e-4)
+
+    def test_mlp(self):
+        params = primitives.mlp_init(jax.random.PRNGKey(0), [3, 16, 2])
+        y = primitives.mlp_apply(params, jnp.ones(3))
+        assert y.shape == (2,)
+        grads = jax.grad(lambda p: jnp.sum(primitives.mlp_apply(p, jnp.ones(3)) ** 2))(params)
+        assert grads.weights[0].shape == (3, 16)
+
+
+class TestControllersAndEstimators:
+    def test_pid_regulates_pendulum(self):
+        sys = pendulum.make_system(pendulum.default_params(F64))
+        p = sys.default_params
+        q_d = jnp.asarray([0.5], F64)
+        policy = controllers.pid_controller(
+            jnp.asarray([20.0]), jnp.asarray([10.0]), jnp.asarray([5.0]),
+            lambda t: (q_d, jnp.zeros(1, F64)), dt=1e-3,
+        )
+        x0 = jnp.zeros(2, F64)
+        xs, us, _ = simulator.simulate_controlled(
+            sys, p, x0, policy, 6000, 1e-3, policy_state=jnp.zeros(1, F64)
+        )
+        # Integral action kills the gravity-induced steady-state error.
+        assert abs(float(xs[-1, 0]) - 0.5) < 1e-2
+
+    def test_discrete_kalman_filter_converges(self):
+        rng = np.random.default_rng(0)
+        A = jnp.asarray([[1.0, 0.1], [0.0, 1.0]])
+        C = jnp.asarray([[1.0, 0.0]])
+        W = 0.01 * jnp.eye(2)
+        V = 0.1 * jnp.eye(1)
+        gains = estimators.discrete_kalman_filter(A, C, W, V)
+        # Run the filter on synthetic data.
+        x = jnp.asarray([1.0, -0.5])
+        xhat = jnp.zeros(2)
+        for k in range(200):
+            w = jnp.asarray(rng.normal(size=2) * 0.01)
+            v = jnp.asarray(rng.normal(size=1) * 0.1)
+            y = C @ x + v
+            xhat = A @ xhat + gains.L @ (y - C @ xhat)
+            x = A @ x + w
+        assert float(jnp.linalg.norm(x - xhat)) < 0.5
+
+    def test_luenberger_observer(self):
+        sys = pendulum.make_system(pendulum.default_params(F64))
+        p = sys.default_params
+        C = jnp.asarray([[1.0, 0.0]], F64)
+        L = jnp.asarray([[20.0], [50.0]], F64)
+        update = estimators.luenberger_observer(sys, p, L, C, dt=1e-3)
+        from drake_tpu.systems import integrators
+
+        step = integrators.get("rk4")
+        u = jnp.zeros(1, F64)
+
+        def body(carry, k):
+            x, xhat = carry
+            t = k * 1e-3
+            y = C @ x
+            xhat = update(xhat, u, y, t)
+            x = step(sys.f, p, x, u, t, 1e-3)
+            return (x, xhat), None
+
+        (x, xhat), _ = jax.lax.scan(
+            body, (jnp.asarray([0.4, 0.0], F64), jnp.zeros(2, F64)),
+            jnp.arange(3000),
+        )
+        assert float(jnp.linalg.norm(x - xhat)) < 5e-3
+
+
+class TestIk:
+    @pytest.fixture(scope="class")
+    def arm(self):
+        return iiwa.make_model(F64)
+
+    def test_differential_ik_reaches_target(self, arm):
+        model, params = arm
+        q = iiwa.home_position(F64)
+        ee = model.body_index("link7")
+        p_start = ik.frame_position(model, params, q, ee)
+        p_target = p_start + jnp.asarray([0.05, 0.03, -0.04], F64)
+
+        def body(_, q):
+            res = ik.differential_ik_step(model, params, q, p_target, ee, gain=2.0)
+            return q + 0.05 * res.v
+
+        q = jax.jit(lambda q: jax.lax.fori_loop(0, 200, body, q))(q)
+        res = ik.differential_ik_step(model, params, q, p_target, ee, gain=2.0)
+        assert float(jnp.linalg.norm(res.position_error)) < 1e-4
+
+    def test_nlp_ik(self, arm):
+        model, params = arm
+        q0 = iiwa.home_position(F64)
+        ee = model.body_index("link7")
+        p_target = ik.frame_position(model, params, q0, ee) + jnp.asarray(
+            [0.08, -0.05, 0.02], F64
+        )
+        lim = jnp.asarray(iiwa.POSITION_LIMITS, F64)
+        res = ik.solve_ik(
+            model, params, q0, ee, p_target, q_lower=-lim, q_upper=lim
+        )
+        assert bool(res.success)
+        p_sol = ik.frame_position(model, params, res.z, ee)
+        np.testing.assert_allclose(
+            np.asarray(p_sol), np.asarray(p_target), atol=1e-5
+        )
+
+
+class TestCollisionChecker:
+    def test_iiwa_ground_checks(self):
+        model, params = iiwa.make_model(F64)
+        scene = iiwa.make_contact_scene(model)
+        q_home = iiwa.home_position(F64)
+        assert bool(cc.check_config(model, params, scene, q_home))
+        # Fold the arm down into the ground: collision.
+        q_down = q_home.at[1].set(2.0).at[3].set(0.0)
+        assert not bool(cc.check_config(model, params, scene, q_down))
+
+    def test_batched_and_edges(self):
+        model, params = iiwa.make_model(F64)
+        scene = iiwa.make_contact_scene(model)
+        q_home = iiwa.home_position(F64)
+        q_down = q_home.at[1].set(2.0).at[3].set(0.0)
+        qs = jnp.stack([q_home, q_down])
+        free = cc.check_configs(model, params, scene, qs)
+        assert bool(free[0]) and not bool(free[1])
+        assert not bool(
+            cc.check_edge(model, params, scene, q_home, q_down, num_samples=8)
+        )

@@ -48,9 +48,11 @@ def test_convergence_order(name, order):
     errs = []
     for n in (40, 80):
         dt = T / n
-        x = x0
-        for i in range(n):
-            x = step(decay, None, x, u, i * dt, dt)
+
+        def body(i, x):
+            return step(decay, None, x, u, i * dt, dt)
+
+        x = jax.jit(lambda x0: jax.lax.fori_loop(0, n, body, x0))(x0)
         errs.append(abs(float(x[0]) - np.exp(-1.0)))
     rate = np.log2(errs[0] / errs[1])
     assert rate > order - 0.5, f"{name}: rate {rate} < {order}"
@@ -58,11 +60,14 @@ def test_convergence_order(name, order):
 
 def test_semi_explicit_euler_energy():
     """Symplectic Euler approximately conserves oscillator energy (no drift)."""
-    x = jnp.array([1.0, 0.0], dtype=F64)
+    x0 = jnp.array([1.0, 0.0], dtype=F64)
     u = jnp.zeros(1, dtype=F64)
     dt = 0.01
-    for i in range(5000):
-        x = integrators.semi_explicit_euler(oscillator, None, x, u, 0.0, dt, num_q=1)
+
+    def body(i, x):
+        return integrators.semi_explicit_euler(oscillator, None, x, u, 0.0, dt, num_q=1)
+
+    x = jax.jit(lambda x: jax.lax.fori_loop(0, 5000, body, x))(x0)
     E = 0.5 * (x[0] ** 2 + x[1] ** 2)
     assert abs(float(E) - 0.5) < 0.01  # bounded, no exponential drift
 

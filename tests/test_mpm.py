@@ -96,7 +96,7 @@ class TestDynamics:
         )
 
     def test_settles_on_floor_without_blowup(self, small_config, block):
-        out = mpm.simulate(small_config, block, 2500)
+        out = mpm.simulate(small_config, block, 1200)
         assert bool(jnp.all(jnp.isfinite(out.x)))
         assert bool(jnp.all(jnp.isfinite(out.v)))
         # Above the sticky wall (3 cells = 0.094) and inside the domain.
@@ -132,7 +132,8 @@ class TestDynamics:
             return ke + pe
 
         E0 = float(energy(block))
+        sim = jax.jit(lambda s: mpm.simulate(config, s, 400))
         s = block
-        for _ in range(5):
-            s = mpm.simulate(config, s, 400)
+        for _ in range(3):
+            s = sim(s)
             assert float(energy(s)) <= E0 * 1.01
