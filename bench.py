@@ -16,10 +16,46 @@ numbers; see BASELINE.md).
 """
 
 import json
+import os
+import sys
+import threading
 import time
+
+
+def _probe_tpu(timeout_s: float = 180.0) -> bool:
+    """True if the default backend answers a trivial op within the timeout.
+
+    The tunneled TPU can wedge on a bad kernel; a hung bench is worse than a
+    CPU bench, so probe in a daemon thread and fall back if it stalls."""
+    result = []
+
+    def probe():
+        try:
+            import jax.numpy as jnp
+
+            result.append(float(jnp.ones(4).sum()))
+        except Exception:
+            pass
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return bool(result)
+
+
+if __name__ == "__main__" and os.environ.get("DRAKE_TPU_BENCH_CPU") != "1":
+    if not _probe_tpu():
+        env = dict(os.environ)
+        env["DRAKE_TPU_BENCH_CPU"] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = ""  # drop the axon sitecustomize
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
 
 import jax
 import jax.numpy as jnp
+
+if os.environ.get("DRAKE_TPU_BENCH_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():
@@ -51,9 +87,10 @@ def main():
     def final_cost(p, x):
         return 50.0 * jnp.sum((x - x_goal) ** 2)
 
+    on_cpu = os.environ.get("DRAKE_TPU_BENCH_CPU") == "1"
     horizon = 30
-    mpc_steps = 10
-    batch = 512
+    mpc_steps = 10 if not on_cpu else 5
+    batch = 512 if not on_cpu else 8
     us0 = jnp.tile(u_h[None], (horizon, 1))
 
     def scenario(x0):
@@ -77,13 +114,14 @@ def main():
 
     rollout = jax.jit(jax.vmap(scenario))
     res = rollout(x0s)  # compile + warm-up
-    jax.block_until_ready(res.xs)
+    float(res.xs.sum())  # host readback: block_until_ready does not actually
+    # block on the tunneled TPU backend — only a device->host transfer does.
 
     n_rep = 3
     t0 = time.perf_counter()
     for _ in range(n_rep):
         res = rollout(x0s)
-        jax.block_until_ready(res.xs)
+        float(res.xs.sum())
     wall = (time.perf_counter() - t0) / n_rep
 
     total_solves = batch * mpc_steps
@@ -93,7 +131,9 @@ def main():
         json.dumps(
             {
                 "metric": "quadrotor obstacle MPC solves/s/chip (iLQR horizon=30, "
-                f"batch={batch}, f32, {n_finite}/{batch} stable)",
+                f"batch={batch}, f32, {n_finite}/{batch} stable"
+                + (", CPU FALLBACK - tpu unresponsive" if on_cpu else "")
+                + ")",
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / 1000.0, 3),
