@@ -52,6 +52,7 @@ def make_discrete_system(
     time_step: float,
     actuated_joints: Optional[Sequence[str]] = None,
     sap_params: sap.SapParameters = sap.SapParameters(),
+    joint_limits=None,  # optional (q_lower (nv,), q_upper (nv,))
 ) -> DiscreteSystem:
     """Discrete plant with SAP contact; x = [q; v], u = actuation torques."""
     nq = model.num_positions
@@ -74,7 +75,10 @@ def make_discrete_system(
         tau = jnp.zeros(nv, x.dtype)
         for k, vo in enumerate(act_v_offsets):
             tau = tau.at[vo].add(u[k])
-        data, _ = sap.assemble(model, p, scene, q, v, tau, h, sap_params)
+        data, _ = sap.assemble(
+            model, p, scene, q, v, tau, h, sap_params,
+            joint_limits=joint_limits,
+        )
         sol = sap.solve_sap(data, data.v_star, sap_params)
         v_next = sol.v
         q_next = advance_positions(model, p, q, v_next, h)

@@ -53,7 +53,11 @@ class SapParameters:
 
 
 class SapData(NamedTuple):
-    """Assembled convex problem (the SapContactProblem analog)."""
+    """Assembled convex problem (the SapContactProblem analog).
+
+    Contact constraints plus one-sided joint-limit constraints
+    (sap_limit_constraint.h role): limits act as 1-D frictionless contacts
+    with velocity rows J_lim and bias vhat_lim."""
 
     A: jnp.ndarray  # (nv, nv) dynamics matrix
     v_star: jnp.ndarray  # (nv,) free-motion velocity
@@ -61,6 +65,9 @@ class SapData(NamedTuple):
     R: jnp.ndarray  # (nc, 3) regularization diag (Rt, Rt, Rn)
     vhat: jnp.ndarray  # (nc, 3) bias velocity (0, 0, vhat_n)
     mu: jnp.ndarray  # (nc,) friction
+    J_lim: jnp.ndarray  # (nl, nv) limit rows (+e_j lower, -e_j upper)
+    R_lim: jnp.ndarray  # (nl,)
+    vhat_lim: jnp.ndarray  # (nl,)
 
 
 class SapSolution(NamedTuple):
@@ -121,6 +128,8 @@ def make_contact_jacobian(model, params, q, contact, scene_frames):
     """J: (nc, 3, nv) mapping v -> contact-frame relative velocity of A wrt B."""
     nv = model.num_velocities
     dtype = q.dtype
+    if contact.phi.shape[0] == 0:
+        return jnp.zeros((0, 3, nv), dtype)
 
     def contact_vel_all(v):
         V_W = kin.world_velocities(model, params, q, v)  # (nb, 6)
@@ -156,6 +165,7 @@ def assemble(
     h: float,
     sap_params: SapParameters = SapParameters(),
     external_forces_W=None,
+    joint_limits=None,  # optional (q_lower (nv,), q_upper (nv,)) arrays
 ) -> tuple:
     """Build SapData at (q, v0) — the SapDriver::CalcContactProblemCache role."""
     dtype = q.dtype
@@ -199,7 +209,38 @@ def assemble(
     vhat_n = -contact.phi / t_scale
     vhat = jnp.stack([jnp.zeros_like(vhat_n), jnp.zeros_like(vhat_n), vhat_n], axis=1)
 
-    data = SapData(A=A, v_star=v_star, J=J, R=R, vhat=vhat, mu=contact.friction)
+    # One-sided joint-limit constraints (sap_limit_constraint role): for each
+    # 1-dof joint, phi_lower = q - ql >= 0 with row +e_j, phi_upper = qu - q
+    # with row -e_j; near-rigid regularization from the Delassus scale.
+    if joint_limits is not None:
+        q_lower, q_upper = joint_limits
+        # Map each v index to its q value (1-dof joints only).
+        q_of_v = jnp.zeros(nv, dtype)
+        sel = []
+        for i, jt in enumerate(model.joint_types):
+            if jt in ("revolute", "prismatic"):
+                q_of_v = q_of_v.at[model.v_offsets[i]].set(q[model.q_offsets[i]])
+                sel.append(model.v_offsets[i])
+        sel = jnp.asarray(sel, jnp.int32) if sel else jnp.zeros(0, jnp.int32)
+        eye = jnp.eye(nv, dtype=dtype)
+        J_lim = jnp.concatenate([eye[sel], -eye[sel]], axis=0)
+        phi_lim = jnp.concatenate(
+            [q_of_v[sel] - q_lower[sel], q_upper[sel] - q_of_v[sel]]
+        )
+        w_lim = jnp.einsum(
+            "lv,vw,lw->l", J_lim, jnp.linalg.inv(A), J_lim
+        )
+        R_lim = sap_params.beta**2 / (4.0 * jnp.pi**2) * w_lim
+        vhat_lim = -phi_lim / h
+    else:
+        J_lim = jnp.zeros((0, nv), dtype)
+        R_lim = jnp.zeros((0,), dtype)
+        vhat_lim = jnp.zeros((0,), dtype)
+
+    data = SapData(
+        A=A, v_star=v_star, J=J, R=R, vhat=vhat, mu=contact.friction,
+        J_lim=J_lim, R_lim=R_lim, vhat_lim=vhat_lim,
+    )
     return data, contact
 
 
@@ -208,11 +249,20 @@ def assemble(
 # ---------------------------------------------------------------------------
 
 
+def _limit_gamma(data: SapData, v):
+    """One-sided limit impulses: gamma_l = max(0, (vhat - J v)/R)."""
+    vc_l = data.J_lim @ v
+    return jnp.maximum((data.vhat_lim - vc_l) / data.R_lim, 0.0)
+
+
 def _total_cost(data: SapData, v):
     dv = v - data.v_star
     cost = 0.5 * dv @ (data.A @ dv)
     vc = jnp.einsum("cij,j->ci", data.J, v)
     costs, gammas = jax.vmap(_contact_cost)(vc, data.R, data.vhat, data.mu)
+    if data.R_lim.shape[0]:
+        gl = _limit_gamma(data, v)
+        cost = cost + 0.5 * jnp.sum(data.R_lim * gl * gl)
     return cost + jnp.sum(costs), gammas
 
 
@@ -233,6 +283,11 @@ def _solve_sap_core(data: SapData, v_guess, sap_params: SapParameters):
         grad = data.A @ (v - data.v_star) - jnp.einsum("cij,ci->j", data.J, gammas)
         H = data.A + jnp.einsum("cik,ckl,clj->ij",
                                 jnp.swapaxes(data.J, 1, 2), Gs, data.J)
+        if data.R_lim.shape[0]:
+            gl = _limit_gamma(data, v)
+            grad = grad - data.J_lim.T @ gl
+            G_l = (gl > 0).astype(v.dtype) / data.R_lim
+            H = H + (data.J_lim.T * G_l) @ data.J_lim
         return grad, H, gammas
 
     momentum_scale = jnp.linalg.norm(data.A @ data.v_star) + 1e-12
@@ -243,6 +298,8 @@ def _solve_sap_core(data: SapData, v_guess, sap_params: SapParameters):
         vc = jnp.einsum("cij,j->ci", data.J, va)
         gammas = jax.vmap(gamma_of_vc)(vc, data.R, data.vhat, data.mu)
         g = data.A @ (va - data.v_star) - jnp.einsum("cij,ci->j", data.J, gammas)
+        if data.R_lim.shape[0]:
+            g = g - data.J_lim.T @ _limit_gamma(data, va)
         return g @ dv
 
     def exact_line_search(v, dv):
@@ -317,9 +374,12 @@ def _solve_bwd(sap_params, res, cot):
         gammas = jax.vmap(
             lambda vc_, R, vhat, mu: _project_gamma((vhat - vc_) / R, R, mu)
         )(vc, data_.R, data_.vhat, data_.mu)
-        return data_.A @ (v_ - data_.v_star) - jnp.einsum(
+        r = data_.A @ (v_ - data_.v_star) - jnp.einsum(
             "cij,ci->j", data_.J, gammas
         )
+        if data_.R_lim.shape[0]:
+            r = r - data_.J_lim.T @ _limit_gamma(data_, v_)
+        return r
 
     H = jax.jacfwd(lambda v_: residual(data, v_))(v)
     w = jnp.linalg.solve(H.T, cot_v)

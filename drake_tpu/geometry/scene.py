@@ -156,6 +156,17 @@ class CollisionScene:
                 ds.append(d)
                 mus.append(mu)
 
+        if not phis:  # geometry-free scene (e.g. joint-limits-only plants)
+            return ContactData(
+                phi=jnp.zeros((0,), dtype),
+                p_W=jnp.zeros((0, 3), dtype),
+                n_W=jnp.zeros((0, 3), dtype),
+                body_a=(),
+                body_b=(),
+                stiffness=jnp.zeros((0,), dtype),
+                dissipation=jnp.zeros((0,), dtype),
+                friction=jnp.zeros((0,), dtype),
+            )
         return ContactData(
             phi=jnp.stack(phis),
             p_W=jnp.stack(pws),

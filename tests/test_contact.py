@@ -240,3 +240,30 @@ class TestGradients:
         xs = jax.vmap(lambda x: dsys.g(params, x, jnp.zeros(0, F64), 0.0))(x0s)
         assert xs.shape == (8, 13)
         assert bool(jnp.all(jnp.isfinite(xs)))
+
+
+class TestJointLimits:
+    def test_swing_into_limit_stops(self):
+        """SAP joint-limit constraint (sap_limit_constraint role): a swinging
+        joint must stop at its limit with only near-rigid compliance."""
+        from drake_tpu.geometry.scene import CollisionScene
+        from drake_tpu.multibody.model import ModelBuilder, REVOLUTE
+
+        b = ModelBuilder()
+        b.add_body(
+            "arm", parent=None, joint_type=REVOLUTE, mass=1.0, com=(0, 0, -0.5),
+            inertia_com=np.diag([0, 0.01, 0]), axis=(0, 1, 0), damping=0.05,
+        )
+        model, params = b.build(F64)
+        scene = CollisionScene.build([])
+        lims = (jnp.asarray([-0.5]), jnp.asarray([0.5]))
+        dsys = cplant.make_discrete_system(
+            model, params, scene, 1e-3, joint_limits=lims
+        )
+        us = jnp.zeros((1500, 1), dtype=F64)
+        xs = simulator.simulate_discrete(
+            dsys, params, jnp.array([0.4, 3.0], dtype=F64), us
+        )
+        assert float(xs[:, 0].max()) < 0.501  # stops at the limit
+        assert float(xs[:, 0].min()) > -0.501
+        assert bool(jnp.all(jnp.isfinite(xs)))
