@@ -50,9 +50,22 @@ class MpmConfig:
     # Blocked-P2G static capacities (settings.h BLOCK_BITS=2 -> 4^3 blocks).
     # max_active_blocks caps the touched-block compaction (the
     # gather_touched_grid_kernel analog); block_capacity caps particles per
-    # 4^3-cell block (512 = 64 cells * 8 particles/cell).  Overflow drops.
+    # 4^3-cell block (512 = 64 cells * 8 particles/cell).  OVERFLOW DROPS
+    # SILENTLY under jit — size with `capacities_for(num_particles)`.
     max_active_blocks: int = 256
     block_capacity: int = 512
+
+    def capacities_for(self, num_particles: int, particles_per_cell: int = 8):
+        """Config copy with capacities sized for `num_particles` (assumes
+        near-dense seeding at `particles_per_cell`)."""
+        import dataclasses as _dc
+
+        blocks_needed = max(64, 2 * num_particles // (64 * particles_per_cell // 8))
+        # Round up to a power of two for stable compile caching.
+        a = 1
+        while a < blocks_needed:
+            a *= 2
+        return _dc.replace(self, max_active_blocks=min(a, 8192))
 
     @property
     def lame(self):
@@ -141,6 +154,40 @@ def _stencil_iter():
 # ---------------------------------------------------------------------------
 
 
+def _det3(A):
+    """Closed-form 3x3 determinant (batched, elementwise — jnp.linalg.det
+    lowers to LU on TPU and serializes over the batch)."""
+    return (
+        A[..., 0, 0] * (A[..., 1, 1] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 1])
+        - A[..., 0, 1] * (A[..., 1, 0] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 0])
+        + A[..., 0, 2] * (A[..., 1, 0] * A[..., 2, 1] - A[..., 1, 1] * A[..., 2, 0])
+    )
+
+
+def _inv3(A, eps=1e-12):
+    """Closed-form (adjugate) 3x3 inverse — ~50x faster than the batched LU
+    path on TPU (18.6 ms -> sub-ms at 17k matrices)."""
+    c00 = A[..., 1, 1] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 1]
+    c01 = A[..., 0, 2] * A[..., 2, 1] - A[..., 0, 1] * A[..., 2, 2]
+    c02 = A[..., 0, 1] * A[..., 1, 2] - A[..., 0, 2] * A[..., 1, 1]
+    c10 = A[..., 1, 2] * A[..., 2, 0] - A[..., 1, 0] * A[..., 2, 2]
+    c11 = A[..., 0, 0] * A[..., 2, 2] - A[..., 0, 2] * A[..., 2, 0]
+    c12 = A[..., 0, 2] * A[..., 1, 0] - A[..., 0, 0] * A[..., 1, 2]
+    c20 = A[..., 1, 0] * A[..., 2, 1] - A[..., 1, 1] * A[..., 2, 0]
+    c21 = A[..., 0, 1] * A[..., 2, 0] - A[..., 0, 0] * A[..., 2, 1]
+    c22 = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+    adj = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], axis=-1),
+            jnp.stack([c10, c11, c12], axis=-1),
+            jnp.stack([c20, c21, c22], axis=-1),
+        ],
+        axis=-2,
+    )
+    det = _det3(A)
+    return adj / (det + jnp.where(det >= 0, eps, -eps))[..., None, None]
+
+
 def _polar_rotation(F, iters: int = 8):
     """Rotation factor of F by Newton iteration R <- (R + R^-T)/2.
 
@@ -149,7 +196,7 @@ def _polar_rotation(F, iters: int = 8):
     """
 
     def body(_, R):
-        Rinv_T = jnp.linalg.inv(R).swapaxes(-1, -2)
+        Rinv_T = _inv3(R).swapaxes(-1, -2)
         return 0.5 * (R + Rinv_T)
 
     return jax.lax.fori_loop(0, iters, body, F)
@@ -158,8 +205,8 @@ def _polar_rotation(F, iters: int = 8):
 def fixed_corotated_stress(F, mu, lam):
     """First Piola-Kirchhoff stress P = 2 mu (F - R) + lam (J - 1) J F^-T."""
     R = _polar_rotation(F)
-    J = jnp.linalg.det(F)
-    F_inv_T = jnp.linalg.inv(F).swapaxes(-1, -2)
+    J = _det3(F)
+    F_inv_T = _inv3(F).swapaxes(-1, -2)
     return 2.0 * mu * (F - R) + (lam * (J - 1.0) * J)[..., None, None] * F_inv_T
 
 
@@ -234,44 +281,34 @@ def particle_to_grid_blocked(config: MpmConfig, state: MpmState) -> GridState:
     bid = (bxyz[:, 0] * nby + bxyz[:, 1]) * nbz + bxyz[:, 2]
     lb_local = (base - 4 * bxyz).astype(jnp.int32)  # 0..3, block-independent
 
-    # Multi-operand bitonic sort by block id: co-sorts every particle column
-    # WITHOUT row gathers (XLA row gathers serialize on TPU, ~8 us/row —
-    # this is the TPU analog of the CUDA radix-sort RebuildMapping).
-    vals = jnp.concatenate(
-        [
-            state.mass[:, None],
-            u0,
-            affine.reshape(n, 9),
-            jnp.zeros((n, 3), dtype),
-        ],
-        axis=1,
-    )  # (n, 16)
-    w_flat = w.reshape(n, 9)
-    pad_rows = PMAX
-    bid_p = jnp.concatenate([bid, jnp.full((pad_rows,), nblocks, bid.dtype)])
-    cols = (
-        [jnp.concatenate([vals[:, i], jnp.zeros(pad_rows, dtype)]) for i in range(16)]
-        + [jnp.concatenate([w_flat[:, i], jnp.zeros(pad_rows, dtype)]) for i in range(9)]
-        + [
-            jnp.concatenate([lb_local[:, i], jnp.zeros(pad_rows, jnp.int32)])
-            for i in range(3)
-        ]
-    )
-    sorted_all = jax.lax.sort([bid_p] + cols, num_keys=1)
-    bid_s = sorted_all[0]
-    vals_s = jnp.stack(sorted_all[1:17], axis=1)  # (n_pad, 16)
-    w_s = jnp.stack(sorted_all[17:26], axis=1)  # (n_pad, 9)
-    lb_s = jnp.stack(sorted_all[26:29], axis=1)  # (n_pad, 3) int32
+    # RebuildMapping, TPU style (CUDA radix-sort role): pack all per-particle
+    # columns into one 128-lane row, sort (key, index) pairs (a 2-operand
+    # bitonic sort — a wide multi-operand sort explodes compile time), and
+    # apply the permutation with a single row gather (measured ~1.6 ms at
+    # 18k x 128 — row-major permutation gathers are fast; it is scatters and
+    # small-row table gathers that serialize).
+    packed = jnp.zeros((n, 128), dtype)
+    packed = packed.at[:, 0:1].set(state.mass[:, None])
+    packed = packed.at[:, 1:4].set(u0)
+    packed = packed.at[:, 4:13].set(affine.reshape(n, 9))
+    packed = packed.at[:, 16:25].set(w.reshape(n, 9))
+    packed = packed.at[:, 25:28].set(lb_local.astype(dtype))
 
-    active = jnp.unique(
-        bid_s[: n], size=A, fill_value=nblocks
-    )  # sorted (A,)
+    pad_rows = PMAX
+    n_pad = n + pad_rows
+    bid_p = jnp.concatenate([bid, jnp.full((pad_rows,), nblocks, bid.dtype)])
+    idx_p = jnp.arange(n_pad, dtype=jnp.int32)
+    bid_s, perm = jax.lax.sort([bid_p, idx_p], num_keys=1)
+    packed_p = jnp.concatenate([packed, jnp.zeros((pad_rows, 128), dtype)])
+    packed_s = packed_p[perm]
+
+    active = jnp.unique(bid_s[:n], size=A, fill_value=nblocks)  # sorted (A,)
     starts = jnp.searchsorted(bid_s, active, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(bid_s, active, side="right")
     counts = jnp.minimum(ends - starts, PMAX).astype(jnp.int32)
 
-    out = mpm_kernels.p2g_block_matmul(
-        vals_s, lb_s, w_s, starts, counts, PMAX
+    out = mpm_kernels.p2g_block_matmul_packed(
+        packed_s, starts, counts, PMAX
     )  # (A, 16, 216)
     M_blk = out[:, 0, :]
     U_blk = jnp.moveaxis(out[:, 1:4, :], 1, 2)  # (A, 216, 3)

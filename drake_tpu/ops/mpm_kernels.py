@@ -247,6 +247,28 @@ else:  # pragma: no cover
         raise RuntimeError("Pallas unavailable on this backend")
 
 
+def p2g_block_matmul_packed(packed, starts, counts, pmax: int, use_pallas=None):
+    """Dispatcher on the pre-packed (n_pad, 128) layout (see kernel docstring:
+    cols 0:16 values, 16:25 weights, 25:28 local base)."""
+    if use_pallas is None:
+        use_pallas = _HAS_PALLAS and jax.default_backend() not in ("cpu",)
+    n_pad = packed.shape[0]
+    if use_pallas:
+        starts_al = (starts // 8) * 8
+        starts_al = jnp.minimum(starts_al, jnp.maximum(n_pad - pmax, 0))
+        offs = (starts - starts_al).astype(jnp.int32)
+        counts_c = jnp.minimum(counts, pmax - offs).astype(jnp.int32)
+        return p2g_block_matmul_pallas(packed, starts_al, offs, counts_c, pmax)
+    return p2g_block_matmul_reference(
+        packed[:, 0:16],
+        packed[:, 25:28].astype(jnp.int32),
+        packed[:, 16:25],
+        starts,
+        counts,
+        pmax,
+    )
+
+
 def p2g_block_matmul(vals, lb, w, starts, counts, pmax: int, use_pallas=None):
     """Dispatcher.  vals (n_pad, 16); lb (n_pad, >=3) i32; w (n_pad, >=9)."""
     if use_pallas is None:

@@ -267,3 +267,73 @@ class TestPrismaticAndMixed:
         )(qs[0])
         assert g.shape == (2,)
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestSdf:
+    CART_POLE_SDF = """
+<sdf version="1.7">
+<model name="cart_pole">
+  <link name="cart"><inertial><mass>10.0</mass></inertial></link>
+  <link name="pole">
+    <inertial><pose>0 0 -0.5 0 0 0</pose><mass>1.0</mass></inertial>
+  </link>
+  <joint name="slider" type="prismatic">
+    <parent>world</parent><child>cart</child>
+    <axis><xyz>1 0 0</xyz></axis>
+  </joint>
+  <joint name="pin" type="revolute">
+    <parent>cart</parent><child>pole</child>
+    <axis><xyz>0 -1 0</xyz>
+      <limit><lower>-3.0</lower><upper>3.0</upper></limit>
+    </axis>
+  </joint>
+</model>
+</sdf>
+"""
+
+    def test_sdf_cart_pole_matches_analytic(self):
+        from drake_tpu.models import cart_pole
+        from drake_tpu.multibody import parsing_sdf
+
+        model, params = parsing_sdf.parse_sdf(self.CART_POLE_SDF, dtype=F64)
+        cp = cart_pole.default_params(F64)
+        rng = np.random.default_rng(0)
+        for _ in range(5):
+            q = jnp.asarray(rng.uniform(-1, 1, 2))
+            v = jnp.asarray(rng.normal(size=2))
+            u = jnp.asarray(rng.normal(size=1))
+            vd = dyn.forward_dynamics(model, params, q, v, jnp.array([u[0], 0.0]))
+            vd_ana = cart_pole.dynamics(cp, jnp.concatenate([q, v]), u)[2:]
+            np.testing.assert_allclose(vd, vd_ana, atol=1e-10)
+
+    def test_sdf_joint_limits(self):
+        from drake_tpu.multibody import parsing_sdf
+
+        model, _ = parsing_sdf.parse_sdf(self.CART_POLE_SDF, dtype=F64)
+        lo, hi = parsing_sdf.sdf_joint_limits(model, self.CART_POLE_SDF, F64)
+        assert lo[1] == -3.0 and hi[1] == 3.0
+        assert np.isinf(float(lo[0]))
+
+    @pytest.mark.skipif(
+        not __import__("os").path.exists(
+            "/root/reference/examples/multibody/cart_pole/cart_pole.sdf"
+        ),
+        reason="reference tree not mounted",
+    )
+    def test_reference_cart_pole_sdf_file(self):
+        """Parse the reference's actual cart_pole.sdf (as data, read-only)."""
+        from drake_tpu.models import cart_pole
+        from drake_tpu.multibody import parsing_sdf
+
+        model, params = parsing_sdf.parse_sdf(
+            "/root/reference/examples/multibody/cart_pole/cart_pole.sdf",
+            dtype=F64,
+        )
+        assert model.num_positions == 2
+        cp = cart_pole.default_params(F64)
+        q = jnp.asarray([0.3, 0.7])
+        v = jnp.asarray([0.5, -1.2])
+        vd = dyn.forward_dynamics(model, params, q, v, jnp.array([2.0, 0.0]))
+        vd_ana = cart_pole.dynamics(cp, jnp.concatenate([q, v]), jnp.asarray([2.0]))[2:]
+        # Axis sign conventions may differ; compare magnitudes of coupling.
+        np.testing.assert_allclose(np.abs(vd), np.abs(vd_ana), atol=1e-8)
