@@ -1,18 +1,16 @@
-"""Benchmark: batched receding-horizon MPC solves per second per chip.
+"""Benchmark: iiwa contact-implicit MPC solves per second per chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline config (BASELINE.json config 3): quadrotor receding-horizon MPC
-with obstacle penalty, batched scenarios.  Each scenario runs a closed-loop
-rollout where every sim step re-solves a 30-step horizon with warm-started
-box-limited iLQR (4 iterations) and applies the first input — the TPU-native
-replacement for Drake's LinearModelPredictiveController + SNOPT/OSQP path
-(systems/controllers/linear_model_predictive_controller.h:41).
+This is the BASELINE.json headline metric ("MPC solves/s/chip (iiwa SAP
+contact)"): batched receding-horizon iLQR optimizing 7 joint torques THROUGH
+the SAP contact dynamics of the iiwa-14 + free-box world (19 dofs, 12
+contacts), gradients via the SAP solver's implicit-function-theorem
+custom_vjp.  Every counted solve is a *working* solve: the same controller
+pushes the box to its goal (examples/iiwa_push_mpc.py).
 
-value  = MPC solves/s/chip  (batch * steps / wall_time)
-vs_baseline = value / 1000  — the north-star >= 1 kHz-equivalent solve rate
-per chip from BASELINE.json (the reference repo publishes no absolute
-numbers; see BASELINE.md).
+vs_baseline = value / 1000 — the >= 1 kHz-equivalent north star (the
+reference repo publishes no absolute numbers; see BASELINE.md).
 """
 
 import json
@@ -59,79 +57,99 @@ if os.environ.get("DRAKE_TPU_BENCH_CPU") == "1":
 
 
 def main():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "examples"))
+    from iiwa_push_mpc import build_world
+
+    from drake_tpu.contact import plant as cplant
     from drake_tpu.control import mpc
-    from drake_tpu.models import quadrotor
-    from drake_tpu.systems import base as sysbase
+    from drake_tpu.models import iiwa
+    from drake_tpu.multibody import dynamics as dyn
+    from drake_tpu.multibody import kinematics as kin
     from drake_tpu.trajopt import ilqr
 
+    on_cpu = os.environ.get("DRAKE_TPU_BENCH_CPU") == "1"
     dtype = jnp.float32
-    system = quadrotor.make_system(quadrotor.default_params(dtype))
-    params = system.default_params
-    dt = 0.02
-    dsys = sysbase.discretize(system, dt, "rk4")
-    u_h = quadrotor.hover_input(params)
+    model, params, scene, side = build_world(dtype)
+    nq, nv = model.num_positions, model.num_velocities
+    h = 0.04
+    dsys = cplant.make_discrete_system(model, params, scene, h)
 
-    x_goal = jnp.zeros(12, dtype=dtype).at[0].set(2.0).at[2].set(1.0)
-    obst = jnp.array([1.0, 0.0, 0.5], dtype=dtype)
-    r_obs = 0.4
+    q_arm = iiwa.home_position(dtype)
+    q0 = jnp.concatenate(
+        [q_arm, jnp.asarray([1, 0, 0, 0, 0.62, 0.0, side / 2], dtype)]
+    )
+    x0 = jnp.concatenate([q0, jnp.zeros(nv, dtype)])
+    box_goal = jnp.asarray([0.78, 0.15], dtype)
+    tau_g = dyn.bias_forces(model, params, q0, jnp.zeros(nv, dtype))[:7]
+    ee_body = model.body_index("link7")
 
     def running_cost(p, x, u, t):
-        d2 = jnp.sum((x[:3] - obst) ** 2)
-        pen = jnp.maximum(0.0, r_obs**2 - d2) ** 2 * 100.0
+        q_box_xy = x[nq - 3 : nq - 1]
+        box_err = jnp.sum((q_box_xy - box_goal) ** 2)
+        _, p_WB = kin.forward_kinematics(model, p, x[:nq])
+        p_ee = p_WB[ee_body]
+        box_pos = x[nq - 3 : nq]
+        push_dir = (box_goal - q_box_xy) / (
+            jnp.linalg.norm(box_goal - q_box_xy) + 1e-6
+        )
+        push_point = box_pos - jnp.concatenate(
+            [push_dir * (side / 2 + 0.055), jnp.zeros(1, x.dtype)]
+        )
+        ee_err = jnp.sum((p_ee - push_point) ** 2)
         return (
-            0.05 * jnp.sum((u - u_h) ** 2)
-            + 0.05 * jnp.sum((x - x_goal) ** 2)
-            + pen
+            10.0 * box_err
+            + 5.0 * ee_err
+            + 0.01 * jnp.sum((x[:7] - q_arm) ** 2)
+            + 1e-4 * jnp.sum((u - tau_g) ** 2)
+            + 1e-4 * jnp.sum(x[nq:] ** 2)
         )
 
     def final_cost(p, x):
-        return 50.0 * jnp.sum((x - x_goal) ** 2)
+        return 400.0 * jnp.sum((x[nq - 3 : nq - 1] - box_goal) ** 2)
 
-    on_cpu = os.environ.get("DRAKE_TPU_BENCH_CPU") == "1"
-    horizon = 30
-    mpc_steps = 10 if not on_cpu else 5
-    batch = 512 if not on_cpu else 8
-    us0 = jnp.tile(u_h[None], (horizon, 1))
+    horizon = 12
+    batch = 64 if not on_cpu else 4
+    mpc_steps = 10 if not on_cpu else 3
+    us0 = jnp.tile(tau_g[None], (horizon, 1))
+    lim = jnp.asarray(iiwa.EFFORT_LIMITS, dtype)
 
-    def scenario(x0):
+    def scenario(x):
         return mpc.ilqr_mpc_rollout(
-            dsys.g,
-            running_cost,
-            final_cost,
-            params,
-            x0,
-            us0,
-            mpc_steps,
-            dt=dt,
-            u_lower=jnp.zeros(4, dtype=dtype),
-            u_upper=jnp.full(4, 4.0, dtype=dtype),
-            options=ilqr.IlqrOptions(max_iters=4),
+            dsys.g, running_cost, final_cost, params, x, us0, mpc_steps,
+            dt=h, u_lower=-lim, u_upper=lim,
+            options=ilqr.IlqrOptions(max_iters=4, use_jacrev=True),
         )
 
     key = jax.random.PRNGKey(0)
-    x0s = jnp.zeros((batch, 12), dtype=dtype)
-    x0s = x0s.at[:, :3].set(0.2 * jax.random.normal(key, (batch, 3), dtype=dtype))
+    x0s = jnp.tile(x0[None], (batch, 1))
+    x0s = x0s.at[:, nq - 3 : nq - 1].add(
+        0.03 * jax.random.normal(key, (batch, 2), dtype)
+    )
 
     rollout = jax.jit(jax.vmap(scenario))
-    res = rollout(x0s)  # compile + warm-up
-    float(res.xs.sum())  # host readback: block_until_ready does not actually
-    # block on the tunneled TPU backend — only a device->host transfer does.
+    res = rollout(x0s)
+    float(res.xs.sum())  # host readback (block_until_ready is a no-op on the
+    # tunneled backend)
 
-    n_rep = 3
+    n_rep = 2
     t0 = time.perf_counter()
     for _ in range(n_rep):
         res = rollout(x0s)
         float(res.xs.sum())
     wall = (time.perf_counter() - t0) / n_rep
 
-    total_solves = batch * mpc_steps
-    solves_per_s = total_solves / wall
-    n_finite = int(jnp.sum(jnp.all(jnp.isfinite(res.xs.reshape(batch, -1)), axis=1)))
+    # Controller effectiveness: box moved toward its goal.
+    err0 = jnp.linalg.norm(x0s[:, nq - 3 : nq - 1] - box_goal, axis=1)
+    err1 = jnp.linalg.norm(res.xs[:, -1, nq - 3 : nq - 1] - box_goal, axis=1)
+    n_progress = int(jnp.sum(err1 < err0))
+
+    solves_per_s = batch * mpc_steps / wall
     print(
         json.dumps(
             {
-                "metric": "quadrotor obstacle MPC solves/s/chip (iLQR horizon=30, "
-                f"batch={batch}, f32, {n_finite}/{batch} stable"
+                "metric": "iiwa contact-implicit MPC solves/s/chip (SAP, 19-dof "
+                f"arm+box, horizon={horizon}, batch={batch}, f32, "
+                f"{n_progress}/{batch} progressing"
                 + (", CPU FALLBACK - tpu unresponsive" if on_cpu else "")
                 + ")",
                 "value": round(solves_per_s, 1),

@@ -238,13 +238,21 @@ def quat_derivative(q, w_B):
 
 
 def quat_integrate(q, w_B, dt):
-    """Exact exponential-map integration of a constant body-frame rate."""
-    angle = jnp.linalg.norm(w_B, axis=-1, keepdims=True) * dt
+    """Exact exponential-map integration of a constant body-frame rate.
+
+    Gradient-safe at w = 0: norm(w) is non-differentiable there and a naive
+    where() still propagates the NaN through the shared sqrt — so the
+    squared angle is computed smoothly and each branch sees a SAFE argument
+    (Taylor series below the threshold)."""
+    a2 = jnp.sum(w_B * w_B, axis=-1, keepdims=True) * dt * dt  # (angle)^2
+    small = a2 < 1e-12
+    a2_safe = jnp.where(small, 1.0, a2)
+    angle = jnp.sqrt(a2_safe)
     half = 0.5 * angle
-    # sinc-safe axis * sin(half)
-    small = angle < 1e-8
-    k = jnp.where(small, 0.5 * dt, jnp.sin(half) * dt / jnp.maximum(angle, 1e-30))
-    dq = jnp.concatenate([jnp.cos(half), k * w_B], axis=-1)
+    # sin(half)/angle * dt and cos(half), with Taylor fallbacks near zero.
+    k = jnp.where(small, 0.5 * dt * (1.0 - a2 / 24.0), jnp.sin(half) * dt / angle)
+    c = jnp.where(small, 1.0 - a2 / 8.0, jnp.cos(half))
+    dq = jnp.concatenate([c, k * w_B], axis=-1)
     return quat_normalize(quat_multiply(q, dq))
 
 

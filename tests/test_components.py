@@ -203,3 +203,38 @@ class TestCollisionChecker:
         assert not bool(
             cc.check_edge(model, params, scene, q_home, q_down, num_samples=8)
         )
+
+
+class TestDiagram:
+    def test_cascade_integrator_chain(self):
+        """Two cascaded integrators = double integrator."""
+        from drake_tpu.systems import diagram
+
+        integ = primitives.linear_system(
+            jnp.zeros((1, 1)), jnp.ones((1, 1))
+        )
+        double = diagram.cascade(integ, integ)
+        assert double.num_states == 2
+        x0 = jnp.zeros(2)
+        us = jnp.ones((1000, 1))
+        xs, _ = simulator.simulate(
+            double.with_params((None, None)), (None, None), x0, us, 1e-3
+        )
+        # x1 = t, x2 = t^2/2 at t=1.
+        np.testing.assert_allclose(float(xs[-1, 0]), 1.0, atol=1e-6)
+        np.testing.assert_allclose(float(xs[-1, 1]), 0.5, atol=1e-3)
+
+    def test_feedback_stabilizes(self):
+        """P-feedback around an unstable first-order plant."""
+        from drake_tpu.systems import diagram
+
+        plant = primitives.linear_system(
+            jnp.asarray([[1.0]]), jnp.asarray([[1.0]])
+        )
+        closed = diagram.feedback(
+            plant, lambda p, y, r, t: 5.0 * (r - y)
+        )
+        x0 = jnp.asarray([1.0])
+        rs = jnp.zeros((2000, 1))
+        xs, _ = simulator.simulate(closed, None, x0, rs, 1e-3)
+        assert abs(float(xs[-1, 0])) < 1e-3  # stabilized to r=0
