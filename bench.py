@@ -108,7 +108,7 @@ def main():
         return 400.0 * jnp.sum((x[nq - 3 : nq - 1] - box_goal) ** 2)
 
     horizon = 12
-    batch = 64 if not on_cpu else 4
+    batch = 256 if not on_cpu else 4
     mpc_steps = 10 if not on_cpu else 3
     us0 = jnp.tile(tau_g[None], (horizon, 1))
     lim = jnp.asarray(iiwa.EFFORT_LIMITS, dtype)
@@ -117,7 +117,7 @@ def main():
         return mpc.ilqr_mpc_rollout(
             dsys.g, running_cost, final_cost, params, x, us0, mpc_steps,
             dt=h, u_lower=-lim, u_upper=lim,
-            options=ilqr.IlqrOptions(max_iters=4, use_jacrev=True),
+            options=ilqr.IlqrOptions(max_iters=3, use_jacrev=True),
         )
 
     key = jax.random.PRNGKey(0)

@@ -100,15 +100,26 @@ def solve(
     jac = jax.jacrev if opts.use_jacrev else jax.jacfwd
 
     def derivs(x, u, t):
-        fx = jac(lambda xx: dynamics(params, xx, u, t))(x)
-        fu = jac(lambda uu: dynamics(params, x, uu, t))(u)
-        lx = jax.grad(lambda xx: running_cost(params, xx, u, t))(x)
-        lu = jax.grad(lambda uu: running_cost(params, x, uu, t))(u)
-        lxx = jax.hessian(lambda xx: running_cost(params, xx, u, t))(x)
-        luu = jax.hessian(lambda uu: running_cost(params, x, uu, t))(u)
-        lux = jax.jacfwd(
-            lambda uu: jax.grad(lambda xx: running_cost(params, xx, uu, t))(x)
-        )(u).T
+        # One combined jacobian over [x; u] halves the vjp pulls through the
+        # dynamics (each jacrev re-runs the SAP forward solve).
+        nx_ = x.shape[0]
+
+        def dyn_xu(xu):
+            return dynamics(params, xu[:nx_], xu[nx_:], t)
+
+        J = jac(dyn_xu)(jnp.concatenate([x, u]))
+        fx, fu = J[:, :nx_], J[:, nx_:]
+
+        def cost_xu(xu):
+            return running_cost(params, xu[:nx_], xu[nx_:], t)
+
+        xu = jnp.concatenate([x, u])
+        g = jax.grad(cost_xu)(xu)
+        H = jax.hessian(cost_xu)(xu)
+        lx, lu = g[:nx_], g[nx_:]
+        lxx = H[:nx_, :nx_]
+        luu = H[nx_:, nx_:]
+        lux = H[nx_:, :nx_]
         return fx, fu, lx, lu, lxx, luu, lux
 
     def backward(xs, us, reg):

@@ -114,3 +114,26 @@ class TestShardedRollouts:
             out = jax.jit(batched, out_shardings=batch_sharding(mesh, 2))(x0s)
             assert out.shape == (n, 2)
             assert len(out.sharding.device_set) == 8
+
+
+class TestMonteCarlo:
+    def test_monte_carlo_batched(self, mesh):
+        """MonteCarloSimulation analog: random pendulum drops, sharded."""
+        from drake_tpu.analysis.monte_carlo import monte_carlo_simulation
+        from drake_tpu.models import pendulum
+
+        system = pendulum.make_system(pendulum.default_params(F32))
+        params = system.default_params
+
+        def scenario(key):
+            x0 = 0.5 * jax.random.normal(key, (2,), F32)
+            us = jnp.zeros((200, 1), F32)
+            xs, _ = simulator.simulate(system, params, x0, us, 1e-2)
+            return jnp.max(jnp.abs(xs[:, 0]))  # peak swing angle
+
+        res = monte_carlo_simulation(scenario, num_samples=32, mesh=mesh)
+        assert res.outputs.shape == (32,)
+        assert bool(jnp.all(jnp.isfinite(res.outputs)))
+        # Deterministic reproduction of one sample.
+        v = scenario(res.keys[7])
+        np.testing.assert_allclose(float(v), float(res.outputs[7]), rtol=1e-6)
