@@ -1,0 +1,136 @@
+"""Coupled rigid(SAP) + MPM world stepping — the fork's flagship pipeline.
+
+Re-derivation of the full coupling loop (reference, SURVEY.md §3.3):
+MultibodyPlant::CalcAbstractStep → DeformableDriver::CalcAbstractStates runs
+the MPM substeps against rigid geometry, accumulates contact impulses, and
+the next rigid step applies them as external spatial forces
+(FinalizeExternalContactForces deformable_driver.h:210-218 →
+AddAppliedExternalSpatialForces multibody_plant.cc:2385-2407) — the
+one-way-lagged "async" two-way coupling of arXiv:2503.05046.
+
+The TPU version is one pure function over a (rigid state, particle state)
+pytree: rigid SDFs are evaluated on device inside the MPM substeps (no
+GPU→CPU round trip), and the whole coupled step jits/vmaps/scans.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from drake_tpu.contact import plant as cplant
+from drake_tpu.contact import sap
+from drake_tpu.geometry import shapes as sh
+from drake_tpu.geometry.scene import CollisionScene
+from drake_tpu.mpm import coupling as cpl
+from drake_tpu.mpm import solver as mpm
+from drake_tpu.multibody import kinematics as kin
+from drake_tpu.multibody.model import MultibodyModel, MultibodyParams
+
+
+class CoupledState(NamedTuple):
+    """The world state pytree: rigid x = [q; v] plus MPM particles."""
+
+    rigid: jnp.ndarray
+    particles: mpm.MpmState
+
+
+@dataclasses.dataclass(frozen=True)
+class CoupledWorld:
+    """Static description: rigid model + scene, MPM config, and which rigid
+    collision geometries the particles touch."""
+
+    model: MultibodyModel
+    scene: CollisionScene
+    mpm_config: mpm.MpmConfig
+    contact_params: cpl.MpmContactParams
+    coupled_geometries: Tuple[int, ...]  # indices into scene.geometries
+    substeps_per_step: int
+    time_step: float
+    sap_params: sap.SapParameters = sap.SapParameters()
+
+    def rigid_geoms(self, params: MultibodyParams, q, v):
+        """Current-pose RigidGeom descriptors for the coupled geometries."""
+        R_WB, p_WB = kin.forward_kinematics(self.model, params, q)
+        V_W = kin.world_velocities(self.model, params, q, v)
+        out = []
+        for gi in self.coupled_geometries:
+            g = self.scene.geometries[gi]
+            dtype = q.dtype
+            R_BG = jnp.asarray(g.R_BG, dtype)
+            p_BG = jnp.asarray(g.p_BG, dtype)
+            if g.body < 0:
+                R_WG, p_WG = R_BG, p_BG
+                p_WBo = jnp.zeros(3, dtype)
+                V = jnp.zeros(6, dtype)
+            else:
+                R_WG = R_WB[g.body] @ R_BG
+                p_WG = p_WB[g.body] + R_WB[g.body] @ p_BG
+                p_WBo = p_WB[g.body]
+                V = V_W[g.body]
+            out.append(
+                cpl.RigidGeom(
+                    shape=g.shape, body_index=g.body,
+                    R_WG=R_WG, p_WG=p_WG, p_WB=p_WBo, V_WB=V,
+                )
+            )
+        return out
+
+    def step(
+        self,
+        params: MultibodyParams,
+        state: CoupledState,
+        tau_applied,
+    ) -> CoupledState:
+        """One coupled step of `time_step` seconds.
+
+        Order mirrors the reference: (1) MPM substeps against the CURRENT
+        rigid poses, accumulating impulses; (2) rigid SAP step with the
+        accumulated impulses / h applied as external spatial forces.
+        """
+        model = self.model
+        nq = model.num_positions
+        q, v = state.rigid[:nq], state.rigid[nq:]
+        h = self.time_step
+
+        geoms = self.rigid_geoms(params, q, v)
+        particles, impulses = cpl.simulate_coupled(
+            self.mpm_config,
+            self.contact_params,
+            state.particles,
+            geoms,
+            self.substeps_per_step,
+        )
+
+        # Impulse accumulators -> external spatial forces on rigid bodies.
+        nb = model.num_bodies
+        fext = jnp.zeros((nb, 6), q.dtype)
+        for k, gi in enumerate(self.coupled_geometries):
+            body = self.scene.geometries[gi].body
+            if body >= 0:
+                fext = fext.at[body].add(impulses[k] / h)
+
+        data, _ = sap.assemble(
+            model, params, self.scene, q, v, tau_applied, h,
+            self.sap_params, external_forces_W=fext,
+        )
+        sol = sap.solve_sap(data, data.v_star, self.sap_params)
+        q_next = cplant.advance_positions(model, params, q, sol.v, h)
+        return CoupledState(
+            rigid=jnp.concatenate([q_next, sol.v]), particles=particles
+        )
+
+    def simulate(self, params, state: CoupledState, num_steps: int, tau=None):
+        """Scan `num_steps` coupled steps (zero actuation by default)."""
+        nv = self.model.num_velocities
+        if tau is None:
+            tau = jnp.zeros(nv, state.rigid.dtype)
+
+        def body(s, _):
+            return self.step(params, s, tau), None
+
+        out, _ = jax.lax.scan(body, state, None, length=num_steps)
+        return out

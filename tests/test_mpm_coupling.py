@@ -113,3 +113,57 @@ class TestCoupling:
         # Particles gained +x momentum; sphere received -x impulse.
         assert float(out.v[:, 0].mean()) > 0.01
         assert float(acc[0, 3]) < 0.0
+
+
+class TestCoupledWorld:
+    def test_block_dropped_on_free_rigid_ball(self):
+        """Full two-way pipeline (CalcAbstractStates + external-force loop):
+        an MPM block dropped onto a FREE rigid ball; the ball must carry the
+        block's weight down to the ground and everything stays bounded."""
+        from drake_tpu.contact import coupled_plant
+        from drake_tpu.geometry.scene import CollisionGeometry, CollisionScene
+        from drake_tpu.multibody.model import FLOATING, ModelBuilder
+
+        b = ModelBuilder()
+        m_ball, r_ball = 0.5, 0.08
+        b.add_body(
+            "ball", parent=None, joint_type=FLOATING, mass=m_ball,
+            inertia_com=np.eye(3) * 0.4 * m_ball * r_ball**2,
+        )
+        model, params = b.build(F32)
+        geoms = [
+            CollisionGeometry(name="ground", body=-1, shape=sh.HalfSpace(),
+                              friction=0.5),
+            CollisionGeometry(name="ball", body=0, shape=sh.Sphere(r_ball),
+                              friction=0.5, stiffness=1e6, dissipation=0.1),
+        ]
+        scene = CollisionScene.build(geoms)
+        grid = mpm.MpmConfig(
+            grid_size=(32, 32, 32), dx=1.0 / 32, dt=5e-4, wall_width=0,
+            youngs_modulus=5e4,
+        )
+        world = coupled_plant.CoupledWorld(
+            model=model, scene=scene, mpm_config=grid,
+            contact_params=cpl.MpmContactParams(
+                stiffness=1e5, damping=200.0, friction=0.4
+            ),
+            coupled_geometries=(0, 1),
+            substeps_per_step=20, time_step=1e-2,
+        )
+        q0 = jnp.asarray([1, 0, 0, 0, 0.5, 0.5, r_ball], F32)
+        particles = mpm.make_particle_block(
+            grid, (0.45, 0.45, 0.25), (0.55, 0.55, 0.32)
+        )
+        state = coupled_plant.CoupledState(
+            rigid=jnp.concatenate([q0, jnp.zeros(6, F32)]),
+            particles=particles,
+        )
+        out = jax.jit(lambda s: world.simulate(params, s, 100))(state)
+        assert bool(jnp.all(jnp.isfinite(out.rigid)))
+        assert bool(jnp.all(jnp.isfinite(out.particles.x)))
+        # Ball remains supported near the ground (not launched, not sunk).
+        assert 0.05 < float(out.rigid[6]) < 0.12
+        # Particles come to rest at/above the ground (small compliance).
+        assert float(out.particles.x[:, 2].min()) > -0.01
+        # The pile stays localized.
+        assert float(out.particles.x[:, 2].max()) < 0.4
