@@ -53,6 +53,7 @@ def make_discrete_system(
     actuated_joints: Optional[Sequence[str]] = None,
     sap_params: sap.SapParameters = sap.SapParameters(),
     joint_limits=None,  # optional (q_lower (nv,), q_upper (nv,))
+    couplers=None,  # optional [(joint_a, joint_b, ratio, offset), ...]
 ) -> DiscreteSystem:
     """Discrete plant with SAP contact; x = [q; v], u = actuation torques."""
     nq = model.num_positions
@@ -77,7 +78,7 @@ def make_discrete_system(
             tau = tau.at[vo].add(u[k])
         data, _ = sap.assemble(
             model, p, scene, q, v, tau, h, sap_params,
-            joint_limits=joint_limits,
+            joint_limits=joint_limits, couplers=couplers,
         )
         sol = sap.solve_sap(data, data.v_star, sap_params)
         v_next = sol.v

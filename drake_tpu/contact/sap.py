@@ -68,6 +68,9 @@ class SapData(NamedTuple):
     J_lim: jnp.ndarray  # (nl, nv) limit rows (+e_j lower, -e_j upper)
     R_lim: jnp.ndarray  # (nl,)
     vhat_lim: jnp.ndarray  # (nl,)
+    J_eq: jnp.ndarray  # (ne, nv) two-sided holonomic rows (couplers, welds)
+    R_eq: jnp.ndarray  # (ne,)
+    vhat_eq: jnp.ndarray  # (ne,)
 
 
 class SapSolution(NamedTuple):
@@ -166,6 +169,7 @@ def assemble(
     sap_params: SapParameters = SapParameters(),
     external_forces_W=None,
     joint_limits=None,  # optional (q_lower (nv,), q_upper (nv,)) arrays
+    couplers=None,  # optional list of (joint_name_a, joint_name_b, ratio, offset)
 ) -> tuple:
     """Build SapData at (q, v0) — the SapDriver::CalcContactProblemCache role."""
     dtype = q.dtype
@@ -237,9 +241,32 @@ def assemble(
         R_lim = jnp.zeros((0,), dtype)
         vhat_lim = jnp.zeros((0,), dtype)
 
+    # Coupler constraints (sap_coupler_constraint role): q_a = rho q_b +
+    # offset enforced at velocity level with near-rigid bias.
+    if couplers:
+        rows, phis = [], []
+        for name_a, name_b, rho, offset in couplers:
+            ia = model.joint_names.index(name_a)
+            ib = model.joint_names.index(name_b)
+            va_, vb_ = model.v_offsets[ia], model.v_offsets[ib]
+            qa_, qb_ = model.q_offsets[ia], model.q_offsets[ib]
+            row = jnp.zeros(nv, dtype).at[va_].set(1.0).at[vb_].set(-rho)
+            rows.append(row)
+            phis.append(q[qa_] - rho * q[qb_] - offset)
+        J_eq = jnp.stack(rows)
+        phi_eq = jnp.stack(phis)
+        w_eq = jnp.einsum("lv,vw,lw->l", J_eq, jnp.linalg.inv(A), J_eq)
+        R_eq = sap_params.beta**2 / (4.0 * jnp.pi**2) * w_eq
+        vhat_eq = -phi_eq / h
+    else:
+        J_eq = jnp.zeros((0, nv), dtype)
+        R_eq = jnp.zeros((0,), dtype)
+        vhat_eq = jnp.zeros((0,), dtype)
+
     data = SapData(
         A=A, v_star=v_star, J=J, R=R, vhat=vhat, mu=contact.friction,
         J_lim=J_lim, R_lim=R_lim, vhat_lim=vhat_lim,
+        J_eq=J_eq, R_eq=R_eq, vhat_eq=vhat_eq,
     )
     return data, contact
 
@@ -255,6 +282,12 @@ def _limit_gamma(data: SapData, v):
     return jnp.maximum((data.vhat_lim - vc_l) / data.R_lim, 0.0)
 
 
+def _eq_gamma(data: SapData, v):
+    """Two-sided holonomic impulses (sap_coupler/ball/weld constraint role):
+    gamma_e = (vhat - J v)/R, no projection (always active)."""
+    return (data.vhat_eq - data.J_eq @ v) / data.R_eq
+
+
 def _total_cost(data: SapData, v):
     dv = v - data.v_star
     cost = 0.5 * dv @ (data.A @ dv)
@@ -263,6 +296,9 @@ def _total_cost(data: SapData, v):
     if data.R_lim.shape[0]:
         gl = _limit_gamma(data, v)
         cost = cost + 0.5 * jnp.sum(data.R_lim * gl * gl)
+    if data.R_eq.shape[0]:
+        ge = _eq_gamma(data, v)
+        cost = cost + 0.5 * jnp.sum(data.R_eq * ge * ge)
     return cost + jnp.sum(costs), gammas
 
 
@@ -288,6 +324,10 @@ def _solve_sap_core(data: SapData, v_guess, sap_params: SapParameters):
             grad = grad - data.J_lim.T @ gl
             G_l = (gl > 0).astype(v.dtype) / data.R_lim
             H = H + (data.J_lim.T * G_l) @ data.J_lim
+        if data.R_eq.shape[0]:
+            ge = _eq_gamma(data, v)
+            grad = grad - data.J_eq.T @ ge
+            H = H + (data.J_eq.T / data.R_eq) @ data.J_eq
         return grad, H, gammas
 
     momentum_scale = jnp.linalg.norm(data.A @ data.v_star) + 1e-12
@@ -300,6 +340,8 @@ def _solve_sap_core(data: SapData, v_guess, sap_params: SapParameters):
         g = data.A @ (va - data.v_star) - jnp.einsum("cij,ci->j", data.J, gammas)
         if data.R_lim.shape[0]:
             g = g - data.J_lim.T @ _limit_gamma(data, va)
+        if data.R_eq.shape[0]:
+            g = g - data.J_eq.T @ _eq_gamma(data, va)
         return g @ dv
 
     def exact_line_search(v, dv):
@@ -379,6 +421,8 @@ def _solve_bwd(sap_params, res, cot):
         )
         if data_.R_lim.shape[0]:
             r = r - data_.J_lim.T @ _limit_gamma(data_, v_)
+        if data_.R_eq.shape[0]:
+            r = r - data_.J_eq.T @ _eq_gamma(data_, v_)
         return r
 
     H = jax.jacfwd(lambda v_: residual(data, v_))(v)

@@ -458,11 +458,177 @@ def grid_to_particle(
     return state.replace(x=x_new, v=v_new, F=F_new, C=C_new)
 
 
+def block_windows(grid_field, nbx, nby, nbz):
+    """Extract all 6^3 block windows by pure strided slicing (no gathers).
+
+    grid_field: (nx, ny, nz, c) -> (nblocks, 216, c) where row (b, l) is
+    grid[4bx+lx, 4by+ly, 4bz+lz].  Strided slices grid[l::4] give T[b, l]
+    for each local offset — the gather-free inverse of the P2G halo combine.
+    """
+    c = grid_field.shape[-1]
+    padded = jnp.pad(grid_field, ((0, 8), (0, 8), (0, 8), (0, 0)))
+
+    def axis_stack(f, nb, axis):
+        # returns shape (..., nb, 6, ...) stacked along a new local axis
+        slices = [
+            jax.lax.slice_in_dim(f, l, l + 4 * nb, stride=4, axis=axis)
+            for l in range(6)
+        ]
+        return jnp.stack(slices, axis=axis + 1)
+
+    T = axis_stack(padded, nbx, 0)  # (nbx, 6, ny+8, nz+8, c)
+    T = axis_stack(T, nby, 2)  # (nbx, 6, nby, 6, nz+8, c)
+    T = axis_stack(T, nbz, 4)  # (nbx, 6, nby, 6, nbz, 6, c)
+    T = jnp.transpose(T, (0, 2, 4, 1, 3, 5, 6))
+    return T.reshape(nbx * nby * nbz, 216, c)
+
+
 def mpm_substep(config: MpmConfig, state: MpmState) -> MpmState:
-    """One explicit MLS-MPM substep: P2G -> grid update -> G2P."""
+    """One explicit MLS-MPM substep: P2G -> grid update -> G2P.
+
+    On TPU the P2G stage uses the blocked Pallas kernel; G2P currently uses
+    the stencil-gather formulation (the fully fused `mpm_substep_blocked`
+    with the G2P Pallas kernel is pending on-hardware validation)."""
     grid = particle_to_grid(config, state)
     grid_vel = update_grid(config, grid)
     return grid_to_particle(config, state, grid_vel)
+
+
+def mpm_substep_blocked(config: MpmConfig, state: MpmState) -> MpmState:
+    """Fused blocked substep: ONE sort shared by P2G and G2P, grid windows by
+    strided slicing, G2P as batched (PMAX x 216) x (216 x 12) matmuls.
+
+    The full TPU pipeline: pack -> sort -> blocked P2G (Pallas DMA+MXU) ->
+    Pallas grid update -> blocked G2P (XLA einsum) -> unsort (second sort).
+    """
+    from drake_tpu.ops import mpm_kernels
+
+    dx, dt = config.dx, config.dt
+    dtype = state.x.dtype
+    n = state.x.shape[0]
+    nx, ny, nz = config.grid_size
+    nbx, nby, nbz = nx // 4, ny // 4, nz // 4
+    nblocks = nbx * nby * nbz
+    A = config.max_active_blocks
+    PMAX = config.block_capacity
+
+    affine = _p2g_affine(config, state)
+    base, w = _bspline_weights(state.x, dx)
+    base = jnp.clip(base, 0, jnp.asarray([nx - 3, ny - 3, nz - 3]))
+    u0 = state.mass[:, None] * state.v - jnp.einsum(
+        "nij,nj->ni", affine, state.x
+    )
+    bxyz = base // 4
+    bid = (bxyz[:, 0] * nby + bxyz[:, 1]) * nbz + bxyz[:, 2]
+    lb_local = (base - 4 * bxyz).astype(jnp.int32)
+
+    packed = jnp.zeros((n, 128), dtype)
+    packed = packed.at[:, 0:1].set(state.mass[:, None])
+    packed = packed.at[:, 1:4].set(u0)
+    packed = packed.at[:, 4:13].set(affine.reshape(n, 9))
+    packed = packed.at[:, 16:25].set(w.reshape(n, 9))
+    packed = packed.at[:, 25:28].set(lb_local.astype(dtype))
+    packed = packed.at[:, 28:31].set(state.x)
+    packed = packed.at[:, 31:40].set(state.F.reshape(n, 9))
+
+    pad_rows = PMAX
+    n_pad = n + pad_rows
+    bid_p = jnp.concatenate([bid, jnp.full((pad_rows,), nblocks, bid.dtype)])
+    idx_p = jnp.arange(n_pad, dtype=jnp.int32)
+    bid_s, perm = jax.lax.sort([bid_p, idx_p], num_keys=1)
+    packed_s = jnp.concatenate([packed, jnp.zeros((pad_rows, 128), dtype)])[perm]
+
+    active = jnp.unique(bid_s[:n], size=A, fill_value=nblocks)
+    starts = jnp.searchsorted(bid_s, active, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(bid_s, active, side="right")
+    counts = jnp.minimum(ends - starts, PMAX).astype(jnp.int32)
+
+    # ---- P2G (Pallas kernel) + halo combine --------------------------------
+    out = mpm_kernels.p2g_block_matmul_packed(packed_s, starts, counts, PMAX)
+    M_blk = out[:, 0, :]
+    U_blk = jnp.moveaxis(out[:, 1:4, :], 1, 2)
+    C_blk = jnp.moveaxis(out[:, 4:13, :], 1, 2).reshape(A, 216, 3, 3)
+    abz = active % nbz
+    aby = (active // nbz) % nby
+    abx = active // (nbz * nby)
+    ablock = jnp.stack([abx, aby, abz], axis=1)
+    l_range = jnp.arange(6)
+    ll = jnp.stack(
+        jnp.meshgrid(l_range, l_range, l_range, indexing="ij"), axis=-1
+    ).reshape(216, 3)
+    node_pos = (4 * ablock[:, None, :] + ll[None, :, :]).astype(dtype) * dx
+    mom_blk = U_blk + jnp.einsum("alij,alj->ali", C_blk, node_pos)
+    T = jnp.zeros((nblocks + 1, 216, 4), dtype)
+    T = T.at[jnp.minimum(active, nblocks)].add(
+        jnp.concatenate([M_blk[..., None], mom_blk], axis=-1), mode="drop"
+    )[:-1]
+    T = T.reshape(nbx, nby, nbz, 6, 6, 6, 4)
+
+    def combine(Tax, block_axis, local_axis, nb):
+        core = jnp.moveaxis(Tax, (block_axis, local_axis), (0, 1))
+        res = core[:, 0:4].reshape((nb * 4,) + core.shape[2:])
+        res = res.at[4::4].add(core[:-1, 4])
+        res = res.at[5::4].add(core[:-1, 5])
+        return jnp.moveaxis(res, 0, block_axis)
+
+    Tx = combine(T, 0, 3, nbx)
+    Ty = combine(Tx, 1, 3, nby)
+    Tz = combine(Ty, 2, 3, nbz)
+    grid = GridState(mass=Tz[..., 0], momentum=Tz[..., 1:])
+
+    # ---- Grid update (Pallas) ---------------------------------------------
+    grid_vel = update_grid(config, grid)  # (nx, ny, nz, 3)
+
+    # ---- Blocked G2P (Pallas kernel) ---------------------------------------
+    # Windows for the active blocks only (row gather of A rows), extended
+    # with v*node channels so the kernel's single MXU contraction yields
+    # both v_p and sum_l w v n^T.
+    win_all = block_windows(grid_vel, nbx, nby, nbz)  # (nblocks, 216, 3)
+    win = jnp.concatenate(
+        [win_all, jnp.zeros((1, 216, 3), dtype)], axis=0
+    )[jnp.minimum(active, nblocks)]  # (A, 216, 3)
+    vel_ext = jnp.concatenate(
+        [
+            win,
+            win * node_pos[..., 0:1],
+            win * node_pos[..., 1:2],
+            win * node_pos[..., 2:3],
+        ],
+        axis=-1,
+    )  # (A, 216, 12)
+    starts_al, offs, counts_c = mpm_kernels.align_starts(
+        starts, counts, n_pad, PMAX
+    )
+    out_p = mpm_kernels.g2p_block_matmul_packed(
+        packed_s, vel_ext, starts_al, offs, counts_c, PMAX, 4.0 / dx**2, dt
+    )  # (A, PMAX, 128): x_new, v_new, F_new, C_new
+
+    # ---- Unsort back to original particle order ----------------------------
+    # Particle i sits at sorted row p = invperm[i], i.e. slot p -
+    # starts_al[a] of its block's kernel output.  A cheap second (n_pad)
+    # sort + one n-row gather — not an (A*PMAX)-row sort.  Particles
+    # dropped by the static A/PMAX capacities keep their old state.
+    invperm = jax.lax.sort(
+        [perm, jnp.arange(n_pad, dtype=jnp.int32)], num_keys=1
+    )[1]
+    a_i = jnp.searchsorted(active, bid).astype(jnp.int32)  # (n,)
+    a_c = jnp.clip(a_i, 0, A - 1)
+    slot = invperm[:n] - starts_al[a_c]
+    covered = (
+        (a_i < A)
+        & (active[a_c] == bid)
+        & (slot >= offs[a_c])
+        & (slot < offs[a_c] + counts_c[a_c])
+    )
+    row = a_c * PMAX + jnp.clip(slot, 0, PMAX - 1)
+    got = out_p.reshape(A * PMAX, 128)[row]  # n-row gather, 128 lanes
+    cov = covered[:, None]
+    return state.replace(
+        x=jnp.where(cov, got[:, 0:3], state.x),
+        v=jnp.where(cov, got[:, 3:6], state.v),
+        F=jnp.where(cov[..., None], got[:, 6:15].reshape(n, 3, 3), state.F),
+        C=jnp.where(cov[..., None], got[:, 15:24].reshape(n, 3, 3), state.C),
+    )
 
 
 def simulate(config: MpmConfig, state: MpmState, num_substeps: int) -> MpmState:

@@ -267,3 +267,41 @@ class TestJointLimits:
         assert float(xs[:, 0].max()) < 0.501  # stops at the limit
         assert float(xs[:, 0].min()) > -0.501
         assert bool(jnp.all(jnp.isfinite(xs)))
+
+
+class TestCouplerConstraint:
+    def test_coupled_joints_track_ratio(self):
+        """SAP coupler constraint (sap_coupler_constraint role): two pendulum
+        joints locked at ratio 2:1 (gripper-mimic style) stay coupled as
+        gravity swings them."""
+        from drake_tpu.geometry.scene import CollisionScene
+        from drake_tpu.multibody.model import ModelBuilder, REVOLUTE
+
+        b = ModelBuilder()
+        b.add_body(
+            "arm_a", parent=None, joint_type=REVOLUTE, mass=1.0,
+            com=(0, 0, -0.4), inertia_com=np.diag([0, 0.01, 0]),
+            axis=(0, 1, 0), damping=0.1, joint_name="ja",
+            X_PJ_xyz=(0.0, 0.0, 0.0),
+        )
+        b.add_body(
+            "arm_b", parent=None, joint_type=REVOLUTE, mass=2.0,
+            com=(0, 0, -0.3), inertia_com=np.diag([0, 0.02, 0]),
+            axis=(0, 1, 0), damping=0.1, joint_name="jb",
+            X_PJ_xyz=(0.5, 0.0, 0.0),
+        )
+        model, params = b.build(F64)
+        scene = CollisionScene.build([])
+        dsys = cplant.make_discrete_system(
+            model, params, scene, 1e-3,
+            couplers=[("ja", "jb", 2.0, 0.0)],  # q_a = 2 q_b
+        )
+        # Start coupled-consistent: q_a = 0.6, q_b = 0.3, and let them swing.
+        x0 = jnp.array([0.6, 0.3, 0.0, 0.0], dtype=F64)
+        us = jnp.zeros((1000, 2), dtype=F64)
+        xs = simulator.simulate_discrete(dsys, params, x0, us)
+        # The ratio holds throughout the swing.
+        err = np.asarray(jnp.abs(xs[:, 0] - 2.0 * xs[:, 1]))
+        assert err.max() < 1e-3
+        # And the joints actually moved (the constraint didn't just freeze).
+        assert float(jnp.abs(xs[-1, 0] - 0.6)) > 0.05

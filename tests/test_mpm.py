@@ -137,3 +137,83 @@ class TestDynamics:
         for _ in range(3):
             s = sim(s)
             assert float(energy(s)) <= E0 * 1.01
+
+
+class TestBlockedSubstep:
+    """The fused blocked pipeline (one shared sort, blocked P2G + G2P) must
+    reproduce the scatter/gather reference substep bit-for-bit-ish (f32)."""
+
+    def test_blocked_matches_reference(self):
+        config = mpm.MpmConfig(
+            grid_size=(32, 32, 32), dx=1.0 / 32, dt=1e-4,
+            max_active_blocks=64, block_capacity=512,
+        )
+        state = mpm.make_particle_block(config, (0.35, 0.35, 0.4), (0.6, 0.6, 0.65))
+        # Perturb velocities/F so G2P's C/F updates are nontrivial.
+        key = jax.random.PRNGKey(3)
+        state = state.replace(
+            v=0.1 * jax.random.normal(key, state.v.shape, F32),
+            F=jnp.eye(3, dtype=F32)[None]
+            + 0.01 * jax.random.normal(key, state.F.shape, F32),
+        )
+        ref = mpm.grid_to_particle(
+            config, state,
+            mpm.update_grid(config, mpm.particle_to_grid(config, state)),
+        )
+        blk = jax.jit(lambda s: mpm.mpm_substep_blocked(config, s))(state)
+        np.testing.assert_allclose(np.asarray(blk.x), np.asarray(ref.x), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(blk.v), np.asarray(ref.v), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(blk.F), np.asarray(ref.F), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(blk.C), np.asarray(ref.C), atol=1e-3)
+
+    def test_g2p_kernel_interpret_matches_reference(self):
+        """Pallas G2P kernel (interpret mode) vs the XLA reference."""
+        import functools
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from drake_tpu.ops import mpm_kernels as mk
+
+        A, PMAX, n_pad = 8, 64, 512
+        key = jax.random.PRNGKey(0)
+        packed = jnp.zeros((n_pad, 128), F32)
+        packed = packed.at[:, 16:25].set(
+            jax.random.uniform(key, (n_pad, 9), F32)
+        )
+        packed = packed.at[:, 25:28].set(
+            jax.random.randint(key, (n_pad, 3), 0, 4).astype(F32)
+        )
+        packed = packed.at[:, 28:31].set(jax.random.normal(key, (n_pad, 3), F32))
+        packed = packed.at[:, 31:40].set(
+            jnp.tile(jnp.eye(3, dtype=F32).reshape(1, 9), (n_pad, 1))
+        )
+        starts = (jnp.arange(A, dtype=jnp.int32) * 56)
+        counts = jnp.full((A,), 40, jnp.int32)
+        starts_al, offs, counts_c = mk.align_starts(starts, counts, n_pad, PMAX)
+        vel_ext = 0.01 * jax.random.normal(key, (A, 216, 12), F32)
+        ref = mk.g2p_block_matmul_reference(
+            packed, vel_ext, starts_al, offs, counts_c, PMAX, 1e3, 1e-4
+        )
+        vel_pad = jnp.concatenate(
+            [vel_ext, jnp.zeros((A, 216, 116), F32)], axis=-1
+        )
+        kernel = functools.partial(
+            mk._g2p_block_kernel, pmax=PMAX, dxi2=1e3, dt=1e-4
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3, grid=(A,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((1, 216, 128), lambda a, *_: (a, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, PMAX, 128), lambda a, *_: (a, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((A, PMAX, 128), jnp.float32),
+            interpret=True,
+        )(starts_al, offs, counts_c, packed, vel_pad)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4
+        )
