@@ -54,31 +54,52 @@ def make_discrete_system(
     sap_params: sap.SapParameters = sap.SapParameters(),
     joint_limits=None,  # optional (q_lower (nv,), q_upper (nv,))
     couplers=None,  # optional [(joint_a, joint_b, ratio, offset), ...]
+    ball_constraints=None,
+    distance_constraints=None,
+    weld_constraints=None,
+    pd_joints=None,  # optional [(joint, Kp, Kd, effort_limit), ...]
 ) -> DiscreteSystem:
-    """Discrete plant with SAP contact; x = [q; v], u = actuation torques."""
+    """Discrete plant with SAP contact; x = [q; v].
+
+    Input u: actuation torques for the directly-actuated joints, followed by
+    desired positions for the `pd_joints` (implicit effort-limited PD servos
+    solved inside SAP — the sap_pd_controller_constraint role)."""
     nq = model.num_positions
     nv = model.num_velocities
     h = time_step
 
+    pd_joints = tuple(pd_joints or ())
+    pd_names = {spec[0] for spec in pd_joints}
     if actuated_joints is None:
         act = [
             i
             for i, jt in enumerate(model.joint_types)
             if jt in ("revolute", "prismatic")
+            and model.joint_names[i] not in pd_names
         ]
     else:
         act = [model.joint_names.index(n) for n in actuated_joints]
     act_v_offsets = [model.v_offsets[i] for i in act]
     nu = len(act)
+    npd = len(pd_joints)
 
     def g(p: MultibodyParams, x, u, t=0.0):
         q, v = x[:nq], x[nq:]
         tau = jnp.zeros(nv, x.dtype)
         for k, vo in enumerate(act_v_offsets):
             tau = tau.at[vo].add(u[k])
+        pd = None
+        if npd:
+            qd_des = u[nu : nu + npd]
+            zero = jnp.zeros(npd, x.dtype)
+            pd = (pd_joints, qd_des, zero, zero)
         data, _ = sap.assemble(
             model, p, scene, q, v, tau, h, sap_params,
             joint_limits=joint_limits, couplers=couplers,
+            ball_constraints=ball_constraints,
+            distance_constraints=distance_constraints,
+            weld_constraints=weld_constraints,
+            pd_controllers=pd,
         )
         sol = sap.solve_sap(data, data.v_star, sap_params)
         v_next = sol.v
@@ -88,7 +109,7 @@ def make_discrete_system(
     return DiscreteSystem(
         g=g,
         num_states=nq + nv,
-        num_inputs=nu,
+        num_inputs=nu + npd,
         time_step=h,
         default_params=params,
     )

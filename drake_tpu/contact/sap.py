@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from drake_tpu.geometry.scene import CollisionScene, contact_frame
+from drake_tpu.math import rotations as rot
 from drake_tpu.multibody import dynamics as dyn
 from drake_tpu.multibody import kinematics as kin
 from drake_tpu.multibody.model import MultibodyModel, MultibodyParams
@@ -68,9 +69,14 @@ class SapData(NamedTuple):
     J_lim: jnp.ndarray  # (nl, nv) limit rows (+e_j lower, -e_j upper)
     R_lim: jnp.ndarray  # (nl,)
     vhat_lim: jnp.ndarray  # (nl,)
-    J_eq: jnp.ndarray  # (ne, nv) two-sided holonomic rows (couplers, welds)
+    J_eq: jnp.ndarray  # (ne, nv) two-sided holonomic rows (couplers,
+    # distance/ball/weld constraints)
     R_eq: jnp.ndarray  # (ne,)
     vhat_eq: jnp.ndarray  # (ne,)
+    J_pd: jnp.ndarray  # (npd, nv) implicit-PD actuation rows (e_j)
+    R_pd: jnp.ndarray  # (npd,) 1/(h (Kp h + Kd))
+    vhat_pd: jnp.ndarray  # (npd,) servo bias velocity
+    glim_pd: jnp.ndarray  # (npd,) impulse bound h * effort_limit
 
 
 class SapSolution(NamedTuple):
@@ -170,6 +176,10 @@ def assemble(
     external_forces_W=None,
     joint_limits=None,  # optional (q_lower (nv,), q_upper (nv,)) arrays
     couplers=None,  # optional list of (joint_name_a, joint_name_b, ratio, offset)
+    ball_constraints=None,  # [(body_a, p_AP (3,), body_b, p_BQ (3,)), ...]
+    distance_constraints=None,  # [(body_a, p_AP, body_b, p_BQ, d0), ...]
+    weld_constraints=None,  # [(body_a, R_AP, p_AP, body_b, R_BQ, p_BQ), ...]
+    pd_controllers=None,  # (specs, qd, vd, u_ff); specs = ((joint, Kp, Kd, e_lim), ...)
 ) -> tuple:
     """Build SapData at (q, v0) — the SapDriver::CalcContactProblemCache role."""
     dtype = q.dtype
@@ -241,20 +251,100 @@ def assemble(
         R_lim = jnp.zeros((0,), dtype)
         vhat_lim = jnp.zeros((0,), dtype)
 
-    # Coupler constraints (sap_coupler_constraint role): q_a = rho q_b +
-    # offset enforced at velocity level with near-rigid bias.
-    if couplers:
-        rows, phis = [], []
-        for name_a, name_b, rho, offset in couplers:
-            ia = model.joint_names.index(name_a)
-            ib = model.joint_names.index(name_b)
-            va_, vb_ = model.v_offsets[ia], model.v_offsets[ib]
-            qa_, qb_ = model.q_offsets[ia], model.q_offsets[ib]
-            row = jnp.zeros(nv, dtype).at[va_].set(1.0).at[vb_].set(-rho)
-            rows.append(row)
-            phis.append(q[qa_] - rho * q[qb_] - offset)
-        J_eq = jnp.stack(rows)
-        phi_eq = jnp.stack(phis)
+    # Two-sided holonomic equality family (sap_coupler/distance/ball/weld
+    # constraint roles, sap_driver.cc:383,423,512,607): each contributes
+    # rows g = J v with position error phi, regularized near-rigid and
+    # biased vhat = -phi/h (Baumgarte at the rate SAP's near-rigid analysis
+    # allows).
+    eq_rows, eq_phis = [], []
+
+    # Couplers: q_a = rho q_b + offset.
+    for name_a, name_b, rho, offset in couplers or ():
+        ia = model.joint_names.index(name_a)
+        ib = model.joint_names.index(name_b)
+        va_, vb_ = model.v_offsets[ia], model.v_offsets[ib]
+        qa_, qb_ = model.q_offsets[ia], model.q_offsets[ib]
+        eq_rows.append(jnp.zeros(nv, dtype).at[va_].set(1.0).at[vb_].set(-rho))
+        eq_phis.append(q[qa_] - rho * q[qb_] - offset)
+
+    if ball_constraints or distance_constraints or weld_constraints:
+        R_WB, p_WB = kin.forward_kinematics(model, params, q)
+
+        def point_pos(body, p_B):
+            p_B = jnp.asarray(p_B, dtype)
+            if body < 0:
+                return p_B
+            return p_WB[body] + R_WB[body] @ p_B
+
+        def rel_point_vel(body_a, p_WP, body_b, p_WQ):
+            """v -> world velocity of P (on A) minus Q (on B); linear."""
+
+            def f(v):
+                V_W = kin.world_velocities(model, params, q, v)
+
+                def pv(body, p_W):
+                    if body < 0:
+                        return jnp.zeros(3, dtype)
+                    return V_W[body, 3:] + jnp.cross(
+                        V_W[body, :3], p_W - p_WB[body]
+                    )
+
+                return pv(body_a, p_WP) - pv(body_b, p_WQ)
+
+            return f
+
+        def rel_ang_vel(body_a, body_b):
+            def f(v):
+                V_W = kin.world_velocities(model, params, q, v)
+                wa = V_W[body_a, :3] if body_a >= 0 else jnp.zeros(3, dtype)
+                wb = V_W[body_b, :3] if body_b >= 0 else jnp.zeros(3, dtype)
+                return wa - wb
+
+            return f
+
+        z = jnp.zeros(nv, dtype)
+
+        # Ball: points P (on A) and Q (on B) coincide — 3 rows.
+        for body_a, p_AP, body_b, p_BQ in ball_constraints or ():
+            p_WP, p_WQ = point_pos(body_a, p_AP), point_pos(body_b, p_BQ)
+            J3 = jax.jacfwd(rel_point_vel(body_a, p_WP, body_b, p_WQ))(z)
+            phi3 = p_WP - p_WQ
+            for r_ in range(3):
+                eq_rows.append(J3[r_])
+                eq_phis.append(phi3[r_])
+
+        # Distance: |P - Q| = d0 — 1 row along the line of centers.
+        for body_a, p_AP, body_b, p_BQ, d0 in distance_constraints or ():
+            p_WP, p_WQ = point_pos(body_a, p_AP), point_pos(body_b, p_BQ)
+            d_vec = p_WP - p_WQ
+            dist = jnp.sqrt(d_vec @ d_vec + 1e-14)
+            n_hat = d_vec / dist
+            J3 = jax.jacfwd(rel_point_vel(body_a, p_WP, body_b, p_WQ))(z)
+            eq_rows.append(n_hat @ J3)
+            eq_phis.append(dist - d0)
+
+        # Weld: frame P (on A) coincides with frame Q (on B) — 6 rows
+        # (3 rotational via the SO(3) log, 3 translational).
+        for body_a, R_AP, p_AP, body_b, R_BQ, p_BQ in weld_constraints or ():
+            R_AP = jnp.asarray(R_AP, dtype)
+            R_BQ = jnp.asarray(R_BQ, dtype)
+            R_WP = R_WB[body_a] @ R_AP if body_a >= 0 else R_AP
+            R_WQ = R_WB[body_b] @ R_BQ if body_b >= 0 else R_BQ
+            p_WP, p_WQ = point_pos(body_a, p_AP), point_pos(body_b, p_BQ)
+            Jw = jax.jacfwd(rel_ang_vel(body_a, body_b))(z)
+            phi_rot = rot.rotation_log(R_WP @ R_WQ.T)
+            J3 = jax.jacfwd(rel_point_vel(body_a, p_WP, body_b, p_WQ))(z)
+            phi3 = p_WP - p_WQ
+            for r_ in range(3):
+                eq_rows.append(Jw[r_])
+                eq_phis.append(phi_rot[r_])
+            for r_ in range(3):
+                eq_rows.append(J3[r_])
+                eq_phis.append(phi3[r_])
+
+    if eq_rows:
+        J_eq = jnp.stack(eq_rows)
+        phi_eq = jnp.stack(eq_phis)
         w_eq = jnp.einsum("lv,vw,lw->l", J_eq, jnp.linalg.inv(A), J_eq)
         R_eq = sap_params.beta**2 / (4.0 * jnp.pi**2) * w_eq
         vhat_eq = -phi_eq / h
@@ -263,10 +353,42 @@ def assemble(
         R_eq = jnp.zeros((0,), dtype)
         vhat_eq = jnp.zeros((0,), dtype)
 
+    # Implicit PD actuation with effort limits (sap_pd_controller_constraint
+    # role, sap_driver.cc:708): tau = clamp(Kp (qd - q_next) + Kd (vd - v)
+    # + u_ff, +-e_lim) solved implicitly in v (q_next = q + h v), i.e.
+    # gamma = clip((vhat - v_j)/R, +-h e_lim) with R = 1/(h (Kp h + Kd)).
+    if pd_controllers is not None:
+        specs, qd_des, vd_des, u_ff = pd_controllers
+        pd_rows, pd_vhat, pd_R, pd_glim = [], [], [], []
+        for k, (jname, Kp, Kd, e_lim) in enumerate(specs):
+            ij = model.joint_names.index(jname)
+            vo, qo = model.v_offsets[ij], model.q_offsets[ij]
+            denom = Kp * h + Kd
+            if float(denom) <= 0.0:
+                raise ValueError(
+                    f"pd controller on '{jname}': Kp*h + Kd must be > 0"
+                )
+            pd_rows.append(jnp.zeros(nv, dtype).at[vo].set(1.0))
+            pd_vhat.append(
+                (Kp * (qd_des[k] - q[qo]) + Kd * vd_des[k] + u_ff[k]) / denom
+            )
+            pd_R.append(jnp.asarray(1.0 / (h * denom), dtype))
+            pd_glim.append(jnp.asarray(h * e_lim, dtype))
+        J_pd = jnp.stack(pd_rows)
+        vhat_pd = jnp.stack(pd_vhat)
+        R_pd = jnp.stack(pd_R)
+        glim_pd = jnp.stack(pd_glim)
+    else:
+        J_pd = jnp.zeros((0, nv), dtype)
+        R_pd = jnp.zeros((0,), dtype)
+        vhat_pd = jnp.zeros((0,), dtype)
+        glim_pd = jnp.zeros((0,), dtype)
+
     data = SapData(
         A=A, v_star=v_star, J=J, R=R, vhat=vhat, mu=contact.friction,
         J_lim=J_lim, R_lim=R_lim, vhat_lim=vhat_lim,
         J_eq=J_eq, R_eq=R_eq, vhat_eq=vhat_eq,
+        J_pd=J_pd, R_pd=R_pd, vhat_pd=vhat_pd, glim_pd=glim_pd,
     )
     return data, contact
 
@@ -288,6 +410,21 @@ def _eq_gamma(data: SapData, v):
     return (data.vhat_eq - data.J_eq @ v) / data.R_eq
 
 
+def _pd_gamma(data: SapData, v):
+    """Effort-limited implicit-PD impulses (sap_pd_controller_constraint
+    role): gamma = clip((vhat - v_j)/R, -h e_lim, +h e_lim)."""
+    y = (data.vhat_pd - data.J_pd @ v) / data.R_pd
+    return jnp.clip(y, -data.glim_pd, data.glim_pd)
+
+
+def _pd_cost(data: SapData, v):
+    """Antiderivative of -gamma_pd w.r.t. vc: R (c^2/2 + c (y - c)) with
+    c = clip(y); quadratic inside the effort box, linear outside."""
+    y = (data.vhat_pd - data.J_pd @ v) / data.R_pd
+    c = jnp.clip(y, -data.glim_pd, data.glim_pd)
+    return jnp.sum(data.R_pd * (0.5 * c * c + c * (y - c)))
+
+
 def _total_cost(data: SapData, v):
     dv = v - data.v_star
     cost = 0.5 * dv @ (data.A @ dv)
@@ -299,6 +436,8 @@ def _total_cost(data: SapData, v):
     if data.R_eq.shape[0]:
         ge = _eq_gamma(data, v)
         cost = cost + 0.5 * jnp.sum(data.R_eq * ge * ge)
+    if data.R_pd.shape[0]:
+        cost = cost + _pd_cost(data, v)
     return cost + jnp.sum(costs), gammas
 
 
@@ -328,6 +467,12 @@ def _solve_sap_core(data: SapData, v_guess, sap_params: SapParameters):
             ge = _eq_gamma(data, v)
             grad = grad - data.J_eq.T @ ge
             H = H + (data.J_eq.T / data.R_eq) @ data.J_eq
+        if data.R_pd.shape[0]:
+            gp = _pd_gamma(data, v)
+            grad = grad - data.J_pd.T @ gp
+            y_pd = (data.vhat_pd - data.J_pd @ v) / data.R_pd
+            act = (jnp.abs(y_pd) < data.glim_pd).astype(v.dtype)
+            H = H + (data.J_pd.T * (act / data.R_pd)) @ data.J_pd
         return grad, H, gammas
 
     momentum_scale = jnp.linalg.norm(data.A @ data.v_star) + 1e-12
@@ -342,6 +487,8 @@ def _solve_sap_core(data: SapData, v_guess, sap_params: SapParameters):
             g = g - data.J_lim.T @ _limit_gamma(data, va)
         if data.R_eq.shape[0]:
             g = g - data.J_eq.T @ _eq_gamma(data, va)
+        if data.R_pd.shape[0]:
+            g = g - data.J_pd.T @ _pd_gamma(data, va)
         return g @ dv
 
     def exact_line_search(v, dv):
@@ -423,6 +570,8 @@ def _solve_bwd(sap_params, res, cot):
             r = r - data_.J_lim.T @ _limit_gamma(data_, v_)
         if data_.R_eq.shape[0]:
             r = r - data_.J_eq.T @ _eq_gamma(data_, v_)
+        if data_.R_pd.shape[0]:
+            r = r - data_.J_pd.T @ _pd_gamma(data_, v_)
         return r
 
     H = jax.jacfwd(lambda v_: residual(data, v_))(v)

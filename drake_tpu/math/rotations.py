@@ -282,3 +282,23 @@ def axis_angle_to_rotation(axis, angle):
     c = jnp.cos(angle)[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=K.dtype), K.shape)
     return eye + s * K + (1.0 - c) * (K @ K)
+
+
+def rotation_log(R):
+    """Rotation vector (axis * angle) of R: the SO(3) matrix log, vee'd.
+
+    Smooth near the identity (Taylor in theta^2); not valid at theta = pi
+    (where the axis is ambiguous) — fine for constraint stabilization where
+    errors are small.  (RotationMatrix::ToAngleAxis role.)
+    """
+    tr = jnp.trace(R)
+    cos_t = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    w = vee(R - jnp.swapaxes(R, -1, -2)) / 2.0  # axis * sin(theta)
+    s2 = jnp.sum(w * w, axis=-1)
+    small = s2 < 1e-12
+    s2_safe = jnp.where(small, 1.0, s2)
+    scale = jnp.where(
+        small, 1.0 + theta * theta / 6.0, theta / jnp.sqrt(s2_safe)
+    )
+    return w * scale

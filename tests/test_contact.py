@@ -305,3 +305,134 @@ class TestCouplerConstraint:
         assert err.max() < 1e-3
         # And the joints actually moved (the constraint didn't just freeze).
         assert float(jnp.abs(xs[-1, 0] - 0.6)) > 0.05
+
+
+class TestHolonomicConstraints:
+    """Distance/ball/weld equality families (sap_distance/ball/weld
+    constraint roles, sap_driver.cc:423,512,607)."""
+
+    def _floating_box(self):
+        from drake_tpu.multibody.model import ModelBuilder, FLOATING
+
+        b = ModelBuilder()
+        b.add_body(
+            "box", parent=None, joint_type=FLOATING, mass=1.0,
+            inertia_com=np.eye(3) * 0.01,
+        )
+        model, params = b.build(F64)
+        scene = CollisionScene.build([])
+        return model, params, scene
+
+    def test_ball_constraint_acts_as_pivot(self):
+        """A floating box ball-constrained at an offset point to a world
+        anchor swings like a pendulum: the anchor point must not move."""
+        model, params, scene = self._floating_box()
+        anchor_W = (0.0, 0.0, 1.0)
+        p_B = (0.0, 0.0, 0.3)  # constrained point in body frame
+        dsys = cplant.make_discrete_system(
+            model, params, scene, 1e-3,
+            ball_constraints=[(0, p_B, -1, anchor_W)],
+        )
+        # Start with the body hanging 0.3 below the anchor, kicked sideways.
+        q0 = jnp.array([1, 0, 0, 0, 0.0, 0.0, 0.7], dtype=F64)
+        v0 = jnp.array([0, 0, 0, 0.5, 0.0, 0.0], dtype=F64)
+        x = jnp.concatenate([q0, v0])
+        us = jnp.zeros((500, 0), dtype=F64)
+        xs = simulator.simulate_discrete(dsys, params, x, us)
+        from drake_tpu.multibody import kinematics as kin
+        from drake_tpu.math import rotations as rot
+
+        x_end = xs[-1]
+        qn = x_end[:7]
+        R = rot.quat_to_rotation(qn[:4])
+        p_WP = qn[4:7] + R @ jnp.asarray(p_B, F64)
+        err = np.linalg.norm(np.asarray(p_WP) - np.asarray(anchor_W))
+        assert err < 1e-3, f"pivot drifted {err}"
+        # And it genuinely moved (swung), i.e. not just frozen.
+        assert abs(float(x_end[4])) + abs(float(x_end[6] - 0.7)) > 1e-3
+        assert bool(jnp.all(jnp.isfinite(xs)))
+
+    def test_distance_constraint_holds_length(self):
+        model, params, scene = self._floating_box()
+        anchor_W = (0.0, 0.0, 1.0)
+        d0 = 0.4
+        dsys = cplant.make_discrete_system(
+            model, params, scene, 1e-3,
+            distance_constraints=[(0, (0, 0, 0), -1, anchor_W, d0)],
+        )
+        q0 = jnp.array([1, 0, 0, 0, 0.0, 0.0, 0.6], dtype=F64)
+        v0 = jnp.array([0, 0, 0, 0.8, 0.0, 0.0], dtype=F64)
+        us = jnp.zeros((500, 0), dtype=F64)
+        xs = simulator.simulate_discrete(
+            dsys, params, jnp.concatenate([q0, v0]), us
+        )
+        p = np.asarray(xs[-1][4:7]) - np.asarray(anchor_W)
+        assert abs(np.linalg.norm(p) - d0) < 1e-3
+        assert bool(jnp.all(jnp.isfinite(xs)))
+
+    def test_weld_constraint_holds_pose(self):
+        """A floating box welded to a world pose stays there under gravity."""
+        model, params, scene = self._floating_box()
+        eye = np.eye(3)
+        dsys = cplant.make_discrete_system(
+            model, params, scene, 1e-3,
+            weld_constraints=[(0, eye, (0, 0, 0), -1, eye, (0.2, 0.1, 0.5))],
+        )
+        q0 = jnp.array([1, 0, 0, 0, 0.2, 0.1, 0.5], dtype=F64)
+        v0 = jnp.zeros(6, F64)
+        us = jnp.zeros((300, 0), dtype=F64)
+        xs = simulator.simulate_discrete(
+            dsys, params, jnp.concatenate([q0, v0]), us
+        )
+        p_err = np.linalg.norm(np.asarray(xs[-1][4:7]) - np.array([0.2, 0.1, 0.5]))
+        quat_err = np.linalg.norm(np.asarray(xs[-1][:4]) - np.array([1, 0, 0, 0]))
+        assert p_err < 1e-3, f"weld translation drifted {p_err}"
+        assert quat_err < 1e-3, f"weld rotation drifted {quat_err}"
+
+
+class TestImplicitPd:
+    """Effort-limited implicit PD actuation (sap_pd_controller_constraint)."""
+
+    def _arm(self):
+        from drake_tpu.multibody.model import ModelBuilder, REVOLUTE
+
+        b = ModelBuilder()
+        b.add_body(
+            "arm", parent=None, joint_type=REVOLUTE, mass=1.0,
+            com=(0, 0, -0.5), inertia_com=np.diag([0, 0.01, 0]),
+            axis=(0, 1, 0), damping=0.0, joint_name="j",
+        )
+        model, params = b.build(F64)
+        return model, params, CollisionScene.build([])
+
+    def test_servo_reaches_target(self):
+        model, params, scene = self._arm()
+        dsys = cplant.make_discrete_system(
+            model, params, scene, 1e-3,
+            pd_joints=[("j", 200.0, 20.0, 100.0)],
+        )
+        assert dsys.num_inputs == 1  # desired position only
+        us = jnp.full((3000, 1), 0.8, dtype=F64)
+        xs = simulator.simulate_discrete(
+            dsys, params, jnp.zeros(2, F64), us
+        )
+        # Steady state: Kp (qd - q) = m g l sin(q) -> small offset from 0.8.
+        assert abs(float(xs[-1, 0]) - 0.8) < 0.05
+        assert bool(jnp.all(jnp.isfinite(xs)))
+
+    def test_effort_limit_respected(self):
+        """With a tiny effort limit the servo cannot hold the arm against
+        gravity: it settles near hanging, not at the target."""
+        model, params, scene = self._arm()
+        # Holding 0.8 rad: need ~ m g l sin(0.8) = 3.5 Nm; limit 1 Nm.
+        dsys = cplant.make_discrete_system(
+            model, params, scene, 1e-3,
+            pd_joints=[("j", 200.0, 20.0, 1.0)],
+        )
+        us = jnp.full((4000, 1), 0.8, dtype=F64)
+        xs = simulator.simulate_discrete(
+            dsys, params, jnp.zeros(2, F64), us
+        )
+        # Equilibrium with tau = 1: sin(q) = 1/(m g l) ~ 0.204 -> q ~ 0.205.
+        assert float(xs[-1, 0]) < 0.3, "servo exceeded its effort limit"
+        assert bool(jnp.all(jnp.isfinite(xs)))
