@@ -54,6 +54,11 @@ class MpmConfig:
     # SILENTLY under jit — size with `capacities_for(num_particles)`.
     max_active_blocks: int = 256
     block_capacity: int = 512
+    # Force pure-XLA lowering (scatter P2G, XLA grid update — no Pallas).
+    # Slower on TPU but vmap-safe: the blocked Pallas P2G's scalar-prefetch
+    # manual DMA faulted the TPU worker when vmapped over a batch axis
+    # (e.g. under MPPI sampling).  Set True for batched MPM rollouts.
+    xla_only: bool = False
 
     def capacities_for(self, num_particles: int, particles_per_cell: int = 8):
         """Config copy with capacities sized for `num_particles` (assumes
@@ -226,7 +231,7 @@ def particle_to_grid(config: MpmConfig, state: MpmState) -> GridState:
     Backend dispatch: on TPU the blocked matmul formulation (XLA scatter-add
     serializes there); on CPU the direct scatter (fast, no padding waste).
     """
-    if jax.default_backend() == "cpu":
+    if config.xla_only or jax.default_backend() == "cpu":
         return particle_to_grid_scatter(config, state)
     return particle_to_grid_blocked(config, state)
 
@@ -423,7 +428,8 @@ def update_grid(config: MpmConfig, grid: GridState) -> jnp.ndarray:
 
     mom = jnp.moveaxis(grid.momentum, -1, 0)  # (3, nx, ny, nz)
     vel = mpm_kernels.update_grid(
-        grid.mass, mom, config.dt, config.gravity, config.wall_width
+        grid.mass, mom, config.dt, config.gravity, config.wall_width,
+        use_pallas=False if config.xla_only else None,
     )
     return jnp.moveaxis(vel, 0, -1)
 
