@@ -42,7 +42,16 @@ def _probe_tpu(timeout_s: float = 180.0) -> bool:
 
 
 if __name__ == "__main__" and os.environ.get("DRAKE_TPU_BENCH_CPU") != "1":
-    if not _probe_tpu():
+    # Retry the probe: right after a TPU worker restart the tunnel can be
+    # transiently unresponsive for a couple of minutes — that shouldn't doom
+    # the bench to the CPU fallback.
+    ok = False
+    for attempt in range(3):
+        if _probe_tpu():
+            ok = True
+            break
+        time.sleep(60)
+    if not ok:
         env = dict(os.environ)
         env["DRAKE_TPU_BENCH_CPU"] = "1"
         env["JAX_PLATFORMS"] = "cpu"
