@@ -293,12 +293,15 @@ def rotation_log(R):
     """
     tr = jnp.trace(R)
     cos_t = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = vee(R - jnp.swapaxes(R, -1, -2)) / 2.0  # axis * sin(theta)
+    # Smooth-gradient construction (same trap as quat_integrate: arccos'
+    # gradient blows up at theta=0 and pollutes both where-branches).  The
+    # small branch is polynomial in s2 = sin^2(theta) — no sqrt at zero —
+    # and the large branch uses atan2, smooth for sin(theta) > 0.
     s2 = jnp.sum(w * w, axis=-1)
     small = s2 < 1e-12
     s2_safe = jnp.where(small, 1.0, s2)
-    scale = jnp.where(
-        small, 1.0 + theta * theta / 6.0, theta / jnp.sqrt(s2_safe)
-    )
+    sin_t = jnp.sqrt(s2_safe)
+    theta = jnp.arctan2(sin_t, cos_t)
+    scale = jnp.where(small, 1.0 + s2 / 6.0, theta / sin_t)
     return w * scale

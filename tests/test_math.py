@@ -226,3 +226,33 @@ class TestRiccati:
                 + Q[i]
             )
             assert float(jnp.abs(res).max()) < 1e-5
+
+
+class TestRotationLog:
+    def test_round_trip_with_rodrigues(self):
+        """rotation_log(axis_angle_to_rotation(a, t)) == a * t."""
+        from drake_tpu.math import rotations as rot
+
+        rng = np.random.default_rng(7)
+        for _ in range(10):
+            a = rng.normal(size=3)
+            a = a / np.linalg.norm(a)
+            t = rng.uniform(0.01, 2.5)
+            R = rot.axis_angle_to_rotation(jnp.asarray(a), jnp.asarray(t))
+            w = np.asarray(rot.rotation_log(R))
+            np.testing.assert_allclose(w, a * t, atol=1e-8)
+
+    def test_identity_and_small_angle_gradient(self):
+        from drake_tpu.math import rotations as rot
+
+        np.testing.assert_allclose(
+            np.asarray(rot.rotation_log(jnp.eye(3))), np.zeros(3), atol=1e-12
+        )
+        # Smooth near identity: gradient through the log of a tiny rotation
+        # must be finite (the where-branch trap).
+        def f(t):
+            R = rot.axis_angle_to_rotation(jnp.asarray([0.0, 0.0, 1.0]), t)
+            return jnp.sum(rot.rotation_log(R) ** 2)
+
+        g = jax.grad(f)(jnp.asarray(1e-8))
+        assert np.isfinite(float(g))
