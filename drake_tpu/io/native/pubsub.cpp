@@ -148,12 +148,11 @@ int ps_publish(void* handle, const char* channel, const uint8_t* data,
   auto* node = static_cast<Node*>(handle);
   if (node->is_memq) {
     Message msg{channel, std::vector<uint8_t>(data, data + len)};
-    std::vector<Node*> nodes;
-    {
-      std::lock_guard<std::mutex> lock(node->bus->mu);
-      nodes = node->bus->nodes;
-    }
-    for (Node* n : nodes) n->Deliver(msg);
+    // Hold the bus mutex across delivery: a raw Node* snapshot would race
+    // with ps_destroy on another thread (use-after-free).  Deliver only
+    // takes the per-node mutex, so there is no lock-order cycle.
+    std::lock_guard<std::mutex> lock(node->bus->mu);
+    for (Node* n : node->bus->nodes) n->Deliver(msg);
     return 0;
   }
   size_t chan_len = strlen(channel);

@@ -50,14 +50,16 @@ class MpmConfig:
     # Blocked-P2G static capacities (settings.h BLOCK_BITS=2 -> 4^3 blocks).
     # max_active_blocks caps the touched-block compaction (the
     # gather_touched_grid_kernel analog); block_capacity caps particles per
-    # 4^3-cell block (512 = 64 cells * 8 particles/cell).  OVERFLOW DROPS
-    # SILENTLY under jit — size with `capacities_for(num_particles)`.
+    # 4^3-cell block (512 = 64 cells * 8 particles/cell).  Overflow is
+    # REPORTED in MpmState.dropped / GridState.dropped (count of particles
+    # excluded from the transfer) — size with `capacities_for(num_particles)`
+    # and assert dropped == 0 in tests.
     max_active_blocks: int = 256
     block_capacity: int = 512
     # Force pure-XLA lowering (scatter P2G, XLA grid update — no Pallas).
-    # Slower on TPU but vmap-safe: the blocked Pallas P2G's scalar-prefetch
-    # manual DMA faulted the TPU worker when vmapped over a batch axis
-    # (e.g. under MPPI sampling).  Set True for batched MPM rollouts.
+    # The Pallas kernels are batch-safe (vmap folds the batch into the
+    # kernel grid via custom_vmap rules — see ops/mpm_kernels.py); this
+    # flag remains as a debugging/CPU-parity escape hatch.
     xla_only: bool = False
 
     def capacities_for(self, num_particles: int, particles_per_cell: int = 8):
@@ -90,6 +92,13 @@ class MpmState:
     C: jnp.ndarray  # (n, 3, 3) APIC affine velocity field
     volume: jnp.ndarray  # (n,) initial volume
     mass: jnp.ndarray  # (n,)
+    # Number of particles dropped by the blocked path's static capacities
+    # (max_active_blocks / block_capacity) in the LAST substep.  Zero means
+    # no mass was lost; nonzero signals the capacities are undersized (the
+    # "no silent caps" rule — SURVEY.md §5).  Scalar int32.
+    dropped: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
 
 
 def make_particle_block(
@@ -223,6 +232,9 @@ def fixed_corotated_stress(F, mu, lam):
 class GridState(NamedTuple):
     mass: jnp.ndarray  # (nx, ny, nz)
     momentum: jnp.ndarray  # (nx, ny, nz, 3)
+    # Particles dropped by static block capacities this transfer (scalar
+    # int32; 0 on the scatter path).
+    dropped: jnp.ndarray = 0
 
 
 def particle_to_grid(config: MpmConfig, state: MpmState) -> GridState:
@@ -299,7 +311,9 @@ def particle_to_grid_blocked(config: MpmConfig, state: MpmState) -> GridState:
     packed = packed.at[:, 16:25].set(w.reshape(n, 9))
     packed = packed.at[:, 25:28].set(lb_local.astype(dtype))
 
-    pad_rows = PMAX
+    # Pad so the DMA window (PMAX + 8 rows, see mpm_kernels.align_window)
+    # always fits and n_pad stays 8-aligned (batch folding relies on it).
+    pad_rows = PMAX + 8 + (-n) % 8
     n_pad = n + pad_rows
     bid_p = jnp.concatenate([bid, jnp.full((pad_rows,), nblocks, bid.dtype)])
     idx_p = jnp.arange(n_pad, dtype=jnp.int32)
@@ -311,6 +325,9 @@ def particle_to_grid_blocked(config: MpmConfig, state: MpmState) -> GridState:
     starts = jnp.searchsorted(bid_s, active, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(bid_s, active, side="right")
     counts = jnp.minimum(ends - starts, PMAX).astype(jnp.int32)
+    # Capacity-overflow accounting ("no silent caps"): particles beyond
+    # block_capacity or outside the first max_active_blocks blocks.
+    dropped = (n - jnp.sum(counts)).astype(jnp.int32)
 
     out = mpm_kernels.p2g_block_matmul_packed(
         packed_s, starts, counts, PMAX
@@ -358,7 +375,7 @@ def particle_to_grid_blocked(config: MpmConfig, state: MpmState) -> GridState:
     Tx = combine(T, 0, 3, nbx)  # (nx, nby, nbz, 6, 6, 4)
     Ty = combine(Tx, 1, 3, nby)  # (nx, ny, nbz, 6, 4)
     Tz = combine(Ty, 2, 3, nbz)  # (nx, ny, nz, 4)
-    return GridState(mass=Tz[..., 0], momentum=Tz[..., 1:])
+    return GridState(mass=Tz[..., 0], momentum=Tz[..., 1:], dropped=dropped)
 
 
 def particle_to_grid_scatter(config: MpmConfig, state: MpmState) -> GridState:
@@ -444,16 +461,23 @@ def grid_to_particle(
     """
     dx, dt = config.dx, config.dt
     dtype = state.x.dtype
+    nx, ny, nz = config.grid_size
     base, w = _bspline_weights(state.x, dx)
 
     v_new = jnp.zeros_like(state.v)
     C_new = jnp.zeros_like(state.C)
+    hi = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32)
     for i, j, k in _stencil_iter():
         offset = jnp.asarray([i, j, k], jnp.int32)
         idx = base + offset
-        weight = w[:, 0, i] * w[:, 1, j] * w[:, 2, k]
+        # Mask out-of-domain taps instead of letting JAX's negative-index
+        # gather wrap to the opposite grid face (matches the scatter P2G,
+        # which drops them); the gather itself uses clamped indices.
+        valid = jnp.all((idx >= 0) & (idx <= hi), axis=-1)
+        idx_c = jnp.clip(idx, 0, hi)
+        weight = w[:, 0, i] * w[:, 1, j] * w[:, 2, k] * valid.astype(dtype)
         dpos = (idx.astype(dtype) - state.x / dx) * dx
-        vi = grid_vel[idx[:, 0], idx[:, 1], idx[:, 2]]
+        vi = grid_vel[idx_c[:, 0], idx_c[:, 1], idx_c[:, 2]]
         v_new = v_new + weight[:, None] * vi
         C_new = C_new + (4.0 / dx**2) * weight[:, None, None] * (
             vi[:, :, None] * dpos[:, None, :]
@@ -497,7 +521,8 @@ def mpm_substep(config: MpmConfig, state: MpmState) -> MpmState:
     with the G2P Pallas kernel is pending on-hardware validation)."""
     grid = particle_to_grid(config, state)
     grid_vel = update_grid(config, grid)
-    return grid_to_particle(config, state, grid_vel)
+    out = grid_to_particle(config, state, grid_vel)
+    return out.replace(dropped=jnp.asarray(grid.dropped, jnp.int32))
 
 
 def mpm_substep_blocked(config: MpmConfig, state: MpmState) -> MpmState:
@@ -537,7 +562,7 @@ def mpm_substep_blocked(config: MpmConfig, state: MpmState) -> MpmState:
     packed = packed.at[:, 28:31].set(state.x)
     packed = packed.at[:, 31:40].set(state.F.reshape(n, 9))
 
-    pad_rows = PMAX
+    pad_rows = PMAX + 8 + (-n) % 8
     n_pad = n + pad_rows
     bid_p = jnp.concatenate([bid, jnp.full((pad_rows,), nblocks, bid.dtype)])
     idx_p = jnp.arange(n_pad, dtype=jnp.int32)
@@ -548,6 +573,7 @@ def mpm_substep_blocked(config: MpmConfig, state: MpmState) -> MpmState:
     starts = jnp.searchsorted(bid_s, active, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(bid_s, active, side="right")
     counts = jnp.minimum(ends - starts, PMAX).astype(jnp.int32)
+    dropped = (n - jnp.sum(counts)).astype(jnp.int32)
 
     # ---- P2G (Pallas kernel) + halo combine --------------------------------
     out = mpm_kernels.p2g_block_matmul_packed(packed_s, starts, counts, PMAX)
@@ -605,14 +631,15 @@ def mpm_substep_blocked(config: MpmConfig, state: MpmState) -> MpmState:
     starts_al, offs, counts_c = mpm_kernels.align_starts(
         starts, counts, n_pad, PMAX
     )
+    win = mpm_kernels.align_window(PMAX)
     out_p = mpm_kernels.g2p_block_matmul_packed(
         packed_s, vel_ext, starts_al, offs, counts_c, PMAX, 4.0 / dx**2, dt
-    )  # (A, PMAX, 128): x_new, v_new, F_new, C_new
+    )  # (A, win, 128): x_new, v_new, F_new, C_new
 
     # ---- Unsort back to original particle order ----------------------------
     # Particle i sits at sorted row p = invperm[i], i.e. slot p -
     # starts_al[a] of its block's kernel output.  A cheap second (n_pad)
-    # sort + one n-row gather — not an (A*PMAX)-row sort.  Particles
+    # sort + one n-row gather — not an (A*win)-row sort.  Particles
     # dropped by the static A/PMAX capacities keep their old state.
     invperm = jax.lax.sort(
         [perm, jnp.arange(n_pad, dtype=jnp.int32)], num_keys=1
@@ -626,14 +653,15 @@ def mpm_substep_blocked(config: MpmConfig, state: MpmState) -> MpmState:
         & (slot >= offs[a_c])
         & (slot < offs[a_c] + counts_c[a_c])
     )
-    row = a_c * PMAX + jnp.clip(slot, 0, PMAX - 1)
-    got = out_p.reshape(A * PMAX, 128)[row]  # n-row gather, 128 lanes
+    row = a_c * win + jnp.clip(slot, 0, win - 1)
+    got = out_p.reshape(A * win, 128)[row]  # n-row gather, 128 lanes
     cov = covered[:, None]
     return state.replace(
         x=jnp.where(cov, got[:, 0:3], state.x),
         v=jnp.where(cov, got[:, 3:6], state.v),
         F=jnp.where(cov[..., None], got[:, 6:15].reshape(n, 3, 3), state.F),
         C=jnp.where(cov[..., None], got[:, 15:24].reshape(n, 3, 3), state.C),
+        dropped=dropped,
     )
 
 

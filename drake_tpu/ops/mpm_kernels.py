@@ -59,7 +59,9 @@ if _HAS_PALLAS:
     def _update_grid_kernel(
         mass_ref, mom_ref, vel_ref, *, dt, gravity, wall_width, nx, ny, nz
     ):
-        i = pl.program_id(0)
+        # nx is the LOGICAL x extent: under a folded batch the grid runs
+        # B*nx slabs and the wall test uses the within-sample coordinate.
+        i = pl.program_id(0) % nx
         m = mass_ref[0]  # (ny, nz)
         inv_m = jnp.where(m > 0, 1.0 / jnp.maximum(m, 1e-12), 0.0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
@@ -72,9 +74,8 @@ if _HAS_PALLAS:
             v = mom_ref[c, 0] * inv_m + dt * gravity[c] * (m > 0)
             vel_ref[c, 0] = jnp.where(mask, v, 0.0)
 
-    def update_grid_pallas(mass, momentum, dt, gravity, wall_width):
-        """Blocked Pallas grid update: one x-slab per program."""
-        _, nx, ny, nz = momentum.shape
+    def _update_grid_pallas_call(mass, momentum, dt, gravity, wall_width, nx):
+        _, nx_total, ny, nz = momentum.shape
         kernel = functools.partial(
             _update_grid_kernel,
             dt=dt,
@@ -84,7 +85,7 @@ if _HAS_PALLAS:
         )
         return pl.pallas_call(
             kernel,
-            grid=(nx,),
+            grid=(nx_total,),
             in_specs=[
                 pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -94,6 +95,43 @@ if _HAS_PALLAS:
             out_specs=pl.BlockSpec((3, 1, ny, nz), lambda i: (0, i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(momentum.shape, momentum.dtype),
+        )(mass, momentum)
+
+    @functools.lru_cache(maxsize=None)
+    def _update_grid_vmapsafe(dt, gravity, wall_width, nx):
+        """Batch-safe grid update: a vmapped batch folds into the x-slab
+        grid axis (one launch of B*nx slabs) instead of going through the
+        stock pallas batching rule."""
+
+        @jax.custom_batching.custom_vmap
+        def call(mass, momentum):
+            return _update_grid_pallas_call(
+                mass, momentum, dt, gravity, wall_width, nx
+            )
+
+        @call.def_vmap
+        def rule(axis_size, in_batched, mass, momentum):
+            mass, momentum = _broadcast_unbatched(
+                axis_size, (mass, momentum), in_batched
+            )
+            B, nx_, ny, nz = mass.shape
+            mom = jnp.moveaxis(momentum, 1, 0).reshape(3, B * nx_, ny, nz)
+            vel = call(mass.reshape(B * nx_, ny, nz), mom)
+            return (
+                jnp.moveaxis(vel.reshape(3, B, nx_, ny, nz), 0, 1),
+                True,
+            )
+
+        return call
+
+    def update_grid_pallas(mass, momentum, dt, gravity, wall_width):
+        """Blocked Pallas grid update: one x-slab per program."""
+        nx = mass.shape[0]
+        return _update_grid_vmapsafe(
+            float(dt),
+            tuple(float(g) for g in gravity),
+            int(wall_width),
+            int(nx),
         )(mass, momentum)
 
 else:  # pragma: no cover
@@ -255,16 +293,21 @@ else:  # pragma: no cover
 
 def p2g_block_matmul_packed(packed, starts, counts, pmax: int, use_pallas=None):
     """Dispatcher on the pre-packed (n_pad, 128) layout (see kernel docstring:
-    cols 0:16 values, 16:25 weights, 25:28 local base)."""
+    cols 0:16 values, 16:25 weights, 25:28 local base).
+
+    Pallas path DMAs align_window(pmax) rows per block (callers pad the
+    sorted array accordingly) so start alignment never drops particles, and
+    is batch-safe under vmap (the batch axis folds into the block grid via a
+    custom_vmap rule — the stock pallas_call batching rule faults the TPU
+    worker on scalar-prefetch manual-DMA kernels)."""
     if use_pallas is None:
         use_pallas = _HAS_PALLAS and jax.default_backend() not in ("cpu",)
     n_pad = packed.shape[0]
     if use_pallas:
-        starts_al = (starts // 8) * 8
-        starts_al = jnp.minimum(starts_al, jnp.maximum(n_pad - pmax, 0))
-        offs = (starts - starts_al).astype(jnp.int32)
-        counts_c = jnp.minimum(counts, pmax - offs).astype(jnp.int32)
-        return p2g_block_matmul_pallas(packed, starts_al, offs, counts_c, pmax)
+        starts_al, offs, counts_c = align_starts(starts, counts, n_pad, pmax)
+        return _p2g_pallas_vmapsafe(align_window(pmax))(
+            packed, starts_al, offs, counts_c
+        )
     return p2g_block_matmul_reference(
         packed[:, 0:16],
         packed[:, 25:28].astype(jnp.int32),
@@ -273,6 +316,83 @@ def p2g_block_matmul_packed(packed, starts, counts, pmax: int, use_pallas=None):
         counts,
         pmax,
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch-safe wrappers: fold a vmapped batch axis into the Pallas grid.
+#
+# vmapping a PrefetchScalarGridSpec manual-DMA pallas_call through the stock
+# batching rule faults the TPU worker (BASELINE.md round-1 caution).  The
+# batch axis is instead folded deterministically: stack the per-batch sorted
+# particle arrays end to end (the row count n_pad is 8-aligned so every
+# segment keeps DMA alignment) and offset each batch's block starts by its
+# segment base — one bigger kernel launch with grid B*A, no per-op batching.
+# ---------------------------------------------------------------------------
+
+
+def _broadcast_unbatched(axis_size, args, in_batched):
+    out = []
+    for a, b in zip(args, in_batched):
+        if b:
+            out.append(a)
+        else:
+            out.append(
+                jnp.broadcast_to(a[None], (axis_size,) + jnp.shape(a))
+            )
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _p2g_pallas_vmapsafe(win: int):
+    @jax.custom_batching.custom_vmap
+    def call(packed, starts_al, offs, counts):
+        return p2g_block_matmul_pallas(packed, starts_al, offs, counts, win)
+
+    @call.def_vmap
+    def rule(axis_size, in_batched, packed, starts_al, offs, counts):
+        packed, starts_al, offs, counts = _broadcast_unbatched(
+            axis_size, (packed, starts_al, offs, counts), in_batched
+        )
+        B, n_pad, _ = packed.shape
+        A = starts_al.shape[1]
+        seg = n_pad * jnp.arange(B, dtype=starts_al.dtype)[:, None]
+        out = call(
+            packed.reshape(B * n_pad, 128),
+            (starts_al + seg).reshape(-1),
+            offs.reshape(-1),
+            counts.reshape(-1),
+        )
+        return out.reshape((B, A) + out.shape[1:]), True
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _g2p_pallas_vmapsafe(win: int, dxi2: float, dt: float):
+    @jax.custom_batching.custom_vmap
+    def call(packed, vel_ext, starts_al, offs, counts):
+        return g2p_block_matmul_pallas(
+            packed, vel_ext, starts_al, offs, counts, win, dxi2, dt
+        )
+
+    @call.def_vmap
+    def rule(axis_size, in_batched, packed, vel_ext, starts_al, offs, counts):
+        packed, vel_ext, starts_al, offs, counts = _broadcast_unbatched(
+            axis_size, (packed, vel_ext, starts_al, offs, counts), in_batched
+        )
+        B, n_pad, _ = packed.shape
+        A = starts_al.shape[1]
+        seg = n_pad * jnp.arange(B, dtype=starts_al.dtype)[:, None]
+        out = call(
+            packed.reshape(B * n_pad, 128),
+            vel_ext.reshape((B * A,) + vel_ext.shape[2:]),
+            (starts_al + seg).reshape(-1),
+            offs.reshape(-1),
+            counts.reshape(-1),
+        )
+        return out.reshape((B, A) + out.shape[1:]), True
+
+    return call
 
 
 # ---------------------------------------------------------------------------
@@ -289,16 +409,27 @@ def p2g_block_matmul_packed(packed, starts, counts, pmax: int, use_pallas=None):
 G2P_VEL_CH = 12  # [v(3), v*node_x(3), v*node_y(3), v*node_z(3)]
 
 
+def align_window(pmax: int) -> int:
+    """DMA window rows for a block of capacity pmax: +8 headroom so 8-aligning
+    the start never truncates a full block (the round-1 silent-drop bug:
+    counts_c = min(counts, pmax - offs) lost up to 7 particles from any
+    fully-occupied block)."""
+    return pmax + 8
+
+
 def align_starts(starts, counts, n_pad: int, pmax: int):
-    """8-align dynamic DMA starts and keep the (start, pmax) window in
+    """8-align dynamic DMA starts and keep the (start, window) slice in
     bounds (an unaligned or out-of-bounds dynamic DMA hangs the engine).
-    Returns (starts_al, offs, counts_c); block a's particles live at sorted
-    rows [starts_al[a] + offs[a], starts_al[a] + offs[a] + counts_c[a])."""
+    The window is pmax + 8 rows (see align_window) so alignment costs no
+    particles; callers must pad the sorted array so n_pad >= window and
+    n_pad % 8 == 0.
+    Returns (starts_al, offs, counts); block a's particles live at sorted
+    rows [starts_al[a] + offs[a], starts_al[a] + offs[a] + counts[a])."""
+    win = align_window(pmax)
     starts_al = (starts // 8) * 8
-    starts_al = jnp.minimum(starts_al, jnp.maximum(n_pad - pmax, 0))
+    starts_al = jnp.minimum(starts_al, jnp.maximum(n_pad - win, 0))
     offs = (starts - starts_al).astype(jnp.int32)
-    counts_c = jnp.minimum(counts, pmax - offs).astype(jnp.int32)
-    return starts_al.astype(jnp.int32), offs, counts_c
+    return starts_al.astype(jnp.int32), offs, counts.astype(jnp.int32)
 
 
 def g2p_block_matmul_reference(
@@ -473,9 +604,13 @@ def g2p_block_matmul_packed(
     packed, vel_ext, starts_al, offs, counts, pmax: int, dxi2, dt,
     use_pallas=None,
 ):
-    """Dispatcher on pre-aligned starts (see align_starts)."""
+    """Dispatcher on pre-aligned starts (see align_starts).  Slot layout is
+    the align_window(pmax)-row DMA window: output is (A, win, 128) and block
+    a's particles occupy rows [offs[a], offs[a]+counts[a]).  Batch-safe
+    under vmap (custom_vmap grid fold)."""
     if use_pallas is None:
         use_pallas = _HAS_PALLAS and jax.default_backend() not in ("cpu",)
+    win = align_window(pmax)
     if use_pallas:
         A = vel_ext.shape[0]
         if vel_ext.shape[-1] < 128:
@@ -488,11 +623,11 @@ def g2p_block_matmul_packed(
                 ],
                 axis=-1,
             )
-        return g2p_block_matmul_pallas(
-            packed, vel_ext, starts_al, offs, counts, pmax, dxi2, dt
+        return _g2p_pallas_vmapsafe(win, float(dxi2), float(dt))(
+            packed, vel_ext, starts_al, offs, counts
         )
     return g2p_block_matmul_reference(
-        packed, vel_ext, starts_al, offs, counts, pmax, dxi2, dt
+        packed, vel_ext, starts_al, offs, counts, win, dxi2, dt
     )
 
 
