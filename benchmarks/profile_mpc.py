@@ -25,6 +25,8 @@ parser.add_argument("--batch", type=int, default=256)
 parser.add_argument("--sap-iters", type=int, default=30)
 parser.add_argument("--sap-tol", type=float, default=1e-6)
 parser.add_argument("--skip-stages", action="store_true")
+parser.add_argument("--n-alphas", type=int, default=6)
+parser.add_argument("--ilqr-iters", type=int, default=3)
 args = parser.parse_args()
 
 import jax
@@ -94,11 +96,18 @@ def _run_mpc_only(
     us0 = jnp.tile(tau_g[None], (horizon, 1))
     lim = jnp.asarray(iiwa.EFFORT_LIMITS, dtype)
 
+    alphas_full = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+    alphas = tuple(
+        alphas_full[:: max(1, len(alphas_full) // args.n_alphas)][: args.n_alphas]
+    )
+
     def scenario(x):
         return mpc.ilqr_mpc_rollout(
             dsys.g, running_cost, final_cost, params, x, us0, mpc_steps,
             dt=h, u_lower=-lim, u_upper=lim,
-            options=ilqr.IlqrOptions(max_iters=3, use_jacrev=True),
+            options=ilqr.IlqrOptions(
+                max_iters=args.ilqr_iters, use_jacrev=True, alphas=alphas
+            ),
         )
 
     rollout = jax.jit(jax.vmap(scenario))

@@ -51,6 +51,15 @@ class CoupledWorld:
     substeps_per_step: int
     time_step: float
     sap_params: sap.SapParameters = sap.SapParameters()
+    # MPM-side contact model: "penalty" = explicit per-particle penalty
+    # (mpm/coupling.py); "implicit" = the fork's grid-level contact Newton
+    # (mpm/grid_contact.py, UpdateContact role) — stable at stiff k*dt and
+    # holds stiction.  With "implicit", `grid_contact_params` configures the
+    # solve and `contact_query_frequency` runs it every that-many substeps
+    # (MpmConfigParams::contact_query_frequency role, cpu_mpm_model.h:17-26).
+    contact_model: str = "penalty"
+    grid_contact_params: Optional[object] = None
+    contact_query_frequency: int = 1
 
     def rigid_geoms(self, params: MultibodyParams, q, v):
         """Current-pose RigidGeom descriptors for the coupled geometries."""
@@ -97,13 +106,58 @@ class CoupledWorld:
         h = self.time_step
 
         geoms = self.rigid_geoms(params, q, v)
-        particles, impulses = cpl.simulate_coupled(
-            self.mpm_config,
-            self.contact_params,
-            state.particles,
-            geoms,
-            self.substeps_per_step,
-        )
+        if self.contact_model == "implicit":
+            from drake_tpu.mpm import grid_contact as gcmod
+
+            gc_params = (
+                self.grid_contact_params
+                if self.grid_contact_params is not None
+                else gcmod.GridContactParams(
+                    stiffness=self.contact_params.stiffness,
+                    damping=self.contact_params.damping,
+                    friction=self.contact_params.friction,
+                    slip_velocity=self.contact_params.slip_velocity,
+                )
+            )
+            freq = max(1, self.contact_query_frequency)
+
+            def body(carry, k):
+                s, acc = carry
+                grid = mpm.particle_to_grid(self.mpm_config, s)
+                grid_vel = mpm.update_grid(self.mpm_config, grid)
+
+                def with_contact(gv):
+                    sol = gcmod.solve_grid_contact(
+                        self.mpm_config, gc_params, s, grid.mass, gv, geoms
+                    )
+                    return sol.grid_vel, sol.impulses
+
+                def without_contact(gv):
+                    return gv, jnp.zeros((len(geoms), 6), gv.dtype)
+
+                if freq == 1:
+                    gv_new, imp = with_contact(grid_vel)
+                else:
+                    gv_new, imp = jax.lax.cond(
+                        k % freq == 0, with_contact, without_contact, grid_vel
+                    )
+                s = mpm.grid_to_particle(self.mpm_config, s, gv_new)
+                s = s.replace(dropped=jnp.asarray(grid.dropped, jnp.int32))
+                return (s, acc + imp), None
+
+            acc0 = jnp.zeros((len(geoms), 6), q.dtype)
+            (particles, impulses), _ = jax.lax.scan(
+                body, (state.particles, acc0),
+                jnp.arange(self.substeps_per_step),
+            )
+        else:
+            particles, impulses = cpl.simulate_coupled(
+                self.mpm_config,
+                self.contact_params,
+                state.particles,
+                geoms,
+                self.substeps_per_step,
+            )
 
         # Impulse accumulators -> external spatial forces on rigid bodies.
         nb = model.num_bodies

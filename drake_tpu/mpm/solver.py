@@ -325,6 +325,9 @@ def particle_to_grid_blocked(config: MpmConfig, state: MpmState) -> GridState:
     starts = jnp.searchsorted(bid_s, active, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(bid_s, active, side="right")
     counts = jnp.minimum(ends - starts, PMAX).astype(jnp.int32)
+    # Zero the counts of `unique` fill entries (repeated nblocks sentinel):
+    # searchsorted otherwise credits them with the padding rows.
+    counts = jnp.where(active < nblocks, counts, 0)
     # Capacity-overflow accounting ("no silent caps"): particles beyond
     # block_capacity or outside the first max_active_blocks blocks.
     dropped = (n - jnp.sum(counts)).astype(jnp.int32)
@@ -573,6 +576,9 @@ def mpm_substep_blocked(config: MpmConfig, state: MpmState) -> MpmState:
     starts = jnp.searchsorted(bid_s, active, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(bid_s, active, side="right")
     counts = jnp.minimum(ends - starts, PMAX).astype(jnp.int32)
+    # Zero the counts of `unique` fill entries (repeated nblocks sentinel):
+    # searchsorted otherwise credits them with the padding rows.
+    counts = jnp.where(active < nblocks, counts, 0)
     dropped = (n - jnp.sum(counts)).astype(jnp.int32)
 
     # ---- P2G (Pallas kernel) + halo combine --------------------------------
