@@ -27,6 +27,11 @@ parser.add_argument("--sap-tol", type=float, default=1e-6)
 parser.add_argument("--skip-stages", action="store_true")
 parser.add_argument("--n-alphas", type=int, default=6)
 parser.add_argument("--ilqr-iters", type=int, default=3)
+parser.add_argument("--mpc-steps", type=int, default=10)
+parser.add_argument(
+    "--first-iters", type=int, default=0,
+    help="heavier FIRST solve (real-time-iteration schedule); 0 = off",
+)
 args = parser.parse_args()
 
 import jax
@@ -92,13 +97,20 @@ def _run_mpc_only(
         return 400.0 * jnp.sum((x[nq - 3 : nq - 1] - box_goal) ** 2)
 
     horizon = 12
-    mpc_steps = 10
+    mpc_steps = args.mpc_steps
     us0 = jnp.tile(tau_g[None], (horizon, 1))
     lim = jnp.asarray(iiwa.EFFORT_LIMITS, dtype)
 
     alphas_full = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
     alphas = tuple(
         alphas_full[:: max(1, len(alphas_full) // args.n_alphas)][: args.n_alphas]
+    )
+    first_options = (
+        ilqr.IlqrOptions(
+            max_iters=args.first_iters, use_jacrev=True, alphas=alphas_full
+        )
+        if args.first_iters
+        else None
     )
 
     def scenario(x):
@@ -108,6 +120,7 @@ def _run_mpc_only(
             options=ilqr.IlqrOptions(
                 max_iters=args.ilqr_iters, use_jacrev=True, alphas=alphas
             ),
+            first_options=first_options,
         )
 
     rollout = jax.jit(jax.vmap(scenario))

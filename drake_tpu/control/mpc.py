@@ -135,6 +135,7 @@ def ilqr_mpc_rollout(
     u_upper=None,
     options: ilqr.IlqrOptions = ilqr.IlqrOptions(max_iters=5),
     sim_dynamics: Optional[Callable] = None,
+    first_options: Optional[ilqr.IlqrOptions] = None,
 ) -> MpcRolloutResult:
     """Closed-loop MPC: at every sim step re-solve the horizon (warm-started
     by shifting the previous plan) and apply the first input.
@@ -142,13 +143,16 @@ def ilqr_mpc_rollout(
     ``sim_dynamics`` (defaults to ``dynamics``) advances the real plant —
     pass a different function to model plant/model mismatch.
     The entire loop is one lax.scan: jit once, vmap over scenarios.
+
+    ``first_options``: optional heavier solver settings for the FIRST solve
+    only (the real-time-iteration pattern: the cold-start solve does the
+    planning work, the warm-started re-solves each period only track it —
+    far cheaper than giving every solve the cold-start budget).
     """
     if sim_dynamics is None:
         sim_dynamics = dynamics
 
-    def step(carry, k):
-        x, us_warm = carry
-        t = k * dt
+    def solve_step(x, us_warm, t, opts):
         res = ilqr.solve(
             dynamics,
             running_cost,
@@ -159,16 +163,38 @@ def ilqr_mpc_rollout(
             dt=dt,
             u_lower=u_lower,
             u_upper=u_upper,
-            options=options,
+            options=opts,
         )
         u_apply = res.us[0]
         x_next = sim_dynamics(params, x, u_apply, t)
         # Warm start: shift the plan one step, repeat the last input.
         us_next = jnp.concatenate([res.us[1:], res.us[-1:]], axis=0)
+        return x_next, us_next, u_apply, res
+
+    def step(carry, k):
+        x, us_warm = carry
+        x_next, us_next, u_apply, res = solve_step(x, us_warm, k * dt, options)
         return (x_next, us_next), (x_next, u_apply, res.cost, res.iterations)
 
+    x_start, us_start = x0, u_init
+    head = None
+    if first_options is not None and num_steps > 0:
+        x1, us1, u0_applied, res0 = solve_step(
+            x0, u_init, jnp.asarray(0.0, x0.dtype), first_options
+        )
+        head = (x1, u0_applied, res0.cost, res0.iterations)
+        x_start, us_start = x1, us1
+
+    n_scan = num_steps - (1 if head is not None else 0)
+    k0 = 1 if head is not None else 0
     (xf, _), (xs_tail, us, costs, iters) = jax.lax.scan(
-        step, (x0, u_init), jnp.arange(num_steps)
+        step, (x_start, us_start), k0 + jnp.arange(n_scan)
     )
+    if head is not None:
+        x1, u0_applied, c0, it0 = head
+        xs_tail = jnp.concatenate([x1[None], xs_tail], axis=0)
+        us = jnp.concatenate([u0_applied[None], us], axis=0)
+        costs = jnp.concatenate([c0[None], costs], axis=0)
+        iters = jnp.concatenate([it0[None], iters], axis=0)
     xs = jnp.concatenate([x0[None], xs_tail], axis=0)
     return MpcRolloutResult(xs=xs, us=us, costs=costs, solve_iters=iters)

@@ -190,6 +190,8 @@ def _contacts_per_pair(ga: CollisionGeometry, gb: CollisionGeometry) -> int:
         frozenset(("Capsule", "Sphere")): 1,
         frozenset(("Capsule",)): 1,
         frozenset(("Box", "HalfSpace")): 8,
+        frozenset(("Box",)): 8,
+        frozenset(("Capsule", "Box")): 3,
     }
     return table[frozenset(kinds)]
 
@@ -204,6 +206,22 @@ def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
         # Swap so the 'larger/static' shape is B; flip resulting normals.
         out = _pair_contacts(gb, Rb, pb, ga, Ra, pa, dtype)
         return [(phi, p, -n) for phi, p, n in out]
+
+    if isinstance(a, sh.Box) and isinstance(b, sh.Box):
+        from drake_tpu.geometry import box_collision as bc
+
+        phi, p_W, n_W = bc.box_box_contacts(
+            Ra, pa, a.size, Rb, pb, b.size
+        )
+        return [(phi[k], p_W[k], n_W[k]) for k in range(8)]
+
+    if isinstance(a, sh.Capsule) and isinstance(b, sh.Box):
+        from drake_tpu.geometry import box_collision as bc
+
+        phi, p_W, n_W = bc.capsule_box_contacts(
+            Ra, pa, a.radius, a.length, Rb, pb, b.size
+        )
+        return [(phi[k], p_W[k], n_W[k]) for k in range(3)]
 
     if isinstance(a, sh.Sphere) and isinstance(b, sh.HalfSpace):
         phi_c, n_W = sh.halfspace_sdf_point(Rb, pb, pa)

@@ -53,6 +53,12 @@ class IpmOptions:
     # NOTE: clamping caps terminal accuracy — keep d_max >= 1e14 for f64.
     refine_steps: int = 0
     d_max: float = 1e14
+    # Ruiz equilibration sweeps on the KKT data (OSQP-style: symmetric
+    # diagonal scaling of [[P, G'], [G, 0]] towards unit row inf-norms plus
+    # a cost normalization).  The single biggest f32 lever: dircol KKT
+    # matrices mix time-step rows ~1e-2 with dynamics rows ~1e2, which eats
+    # half the f32 mantissa before the barrier even starts.  0 = off.
+    equilibrate: int = 0
 
 
 class IpmSolution(NamedTuple):
@@ -65,11 +71,82 @@ class IpmSolution(NamedTuple):
     converged: jnp.ndarray
 
 
+def _ruiz_equilibrate(P, q, G, b, lb, ub, sweeps: int):
+    """Diagonal scaling of the QP data towards unit KKT row norms.
+
+    Returns (P^, q^, G^, b^, lb^, ub^, d, e, c) with the scaled problem in
+    variables w^ = w / d; unscale via w = d*w^, y = e*y^/c, z = z^/(d*c).
+    """
+    dtype = q.dtype
+    n, m = q.shape[0], b.shape[0]
+    d = jnp.ones(n, dtype)
+    e = jnp.ones(m, dtype)
+    c = jnp.asarray(1.0, dtype)
+
+    def sweep(carry, _):
+        P_, q_, G_, d, e, c = carry
+        # Row inf-norms of the scaled KKT matrix [[P, G'], [G, 0]].
+        rn = jnp.maximum(
+            jnp.max(jnp.abs(P_), axis=1),
+            jnp.max(jnp.abs(G_), axis=0) if m else jnp.zeros(n, dtype),
+        )
+        rm = jnp.max(jnp.abs(G_), axis=1) if m else jnp.zeros(0, dtype)
+        sd = 1.0 / jnp.sqrt(jnp.clip(rn, 1e-12, 1e12))
+        se = 1.0 / jnp.sqrt(jnp.clip(rm, 1e-12, 1e12))
+        P_ = sd[:, None] * P_ * sd[None, :]
+        q_ = sd * q_
+        G_ = se[:, None] * G_ * sd[None, :]
+        # Cost normalization (OSQP sec 5.1): gamma = 1/max(mean colnorm P, |q|).
+        col = jnp.mean(jnp.max(jnp.abs(P_), axis=0))
+        gamma = 1.0 / jnp.clip(
+            jnp.maximum(col, jnp.max(jnp.abs(q_), initial=0.0)), 1e-8, 1e8
+        )
+        P_ = gamma * P_
+        q_ = gamma * q_
+        return (P_, q_, G_, d * sd, e * se, c * gamma), ()
+
+    (P_, q_, G_, d, e, c), _ = jax.lax.scan(
+        sweep, (P, q, G, d, e, c), None, length=sweeps
+    )
+    b_ = e * b
+    lb_ = lb / d  # +-inf stays +-inf
+    ub_ = ub / d
+    return P_, q_, G_, b_, lb_, ub_, d, e, c
+
+
 def solve_qp_ipm(
     P, q, G, b, lb, ub, options: IpmOptions = IpmOptions()
 ) -> IpmSolution:
     """Solve the box/equality QP.  jit/vmap friendly; all shapes static."""
     opts = options
+    if opts.equilibrate:
+        Ps, qs, Gs, bs, lbs, ubs, d_s, e_s, c_s = _ruiz_equilibrate(
+            P, q, G, b, lb, ub, opts.equilibrate
+        )
+        inner = dataclasses.replace(options, equilibrate=0)
+        sol = solve_qp_ipm(Ps, qs, Gs, bs, lbs, ubs, inner)
+        w = d_s * sol.w
+        y = e_s * sol.y / c_s
+        zl = sol.z_lower / (d_s * c_s)
+        zu = sol.z_upper / (d_s * c_s)
+        # Report the UNSCALED residual so callers' tolerances mean what
+        # they say.
+        rd = P @ w + q + G.T @ y - zl + zu
+        rp = G @ w - b
+        scale = 1.0 + jnp.maximum(
+            jnp.linalg.norm(q, ord=jnp.inf), jnp.linalg.norm(b, ord=jnp.inf)
+        )
+        res = (
+            jnp.maximum(
+                jnp.linalg.norm(rd, ord=jnp.inf),
+                jnp.linalg.norm(rp, ord=jnp.inf),
+            )
+            / scale
+        )
+        return IpmSolution(
+            w=w, y=y, z_lower=zl, z_upper=zu,
+            iterations=sol.iterations, residual=res, converged=sol.converged,
+        )
     dtype = q.dtype
     n = q.shape[0]
     m = b.shape[0]
