@@ -32,6 +32,12 @@ parser.add_argument(
     "--first-iters", type=int, default=0,
     help="heavier FIRST solve (real-time-iteration schedule); 0 = off",
 )
+parser.add_argument(
+    "--plan-unroll", type=int, default=0,
+    help="use a fixed-N-iteration scan SAP for the iLQR-internal dynamics "
+    "(derivatives + line search) while the state advance keeps the full "
+    "converged solver; 0 = one solver everywhere",
+)
 args = parser.parse_args()
 
 import jax
@@ -113,13 +119,25 @@ def _run_mpc_only(
         else None
     )
 
+    if args.plan_unroll:
+        sp_plan = sap.SapParameters(
+            unroll_iterations=args.plan_unroll, line_search_points=12
+        )
+        dsys_plan = cplant.make_discrete_system(
+            model, params, scene, h, sap_params=sp_plan
+        )
+        plan_g, sim_g = dsys_plan.g, dsys.g
+    else:
+        plan_g, sim_g = dsys.g, None
+
     def scenario(x):
         return mpc.ilqr_mpc_rollout(
-            dsys.g, running_cost, final_cost, params, x, us0, mpc_steps,
+            plan_g, running_cost, final_cost, params, x, us0, mpc_steps,
             dt=h, u_lower=-lim, u_upper=lim,
             options=ilqr.IlqrOptions(
                 max_iters=args.ilqr_iters, use_jacrev=True, alphas=alphas
             ),
+            sim_dynamics=sim_g,
             first_options=first_options,
         )
 

@@ -40,7 +40,19 @@ def advance_positions(model: MultibodyModel, params, q, v, h):
             xyz_next = q[qo + 4 : qo + 7] + h * (R_JB @ v_B)
             q_next = q_next.at[qo : qo + 4].set(quat_next)
             q_next = q_next.at[qo + 4 : qo + 7].set(xyz_next)
-        elif jt in ("revolute", "prismatic"):
+        elif jt == "ball":
+            quat = rot.quat_normalize(q[qo : qo + 4])
+            q_next = q_next.at[qo : qo + 4].set(
+                rot.quat_integrate(quat, v[vo : vo + 3], h)
+            )
+        elif jt == "planar":
+            th = q[qo + 2]
+            c, s = jnp.cos(th), jnp.sin(th)
+            vx, vy, wz = v[vo], v[vo + 1], v[vo + 2]
+            q_next = q_next.at[qo].set(q[qo] + h * (c * vx - s * vy))
+            q_next = q_next.at[qo + 1].set(q[qo + 1] + h * (s * vx + c * vy))
+            q_next = q_next.at[qo + 2].set(th + h * wz)
+        elif jt in ("revolute", "prismatic", "screw"):
             q_next = q_next.at[qo].set(q[qo] + h * v[vo])
     return q_next
 

@@ -53,6 +53,14 @@ class SapParameters:
     # _solve_sap_core): resolution ~ alpha_max / points^2 + secant.
     line_search_points: int = 16
     alpha_max: float = 1.5
+    # Planning-grade fast path: when > 0, run EXACTLY this many Newton
+    # iterations as a fixed-length lax.scan (no while_loop — so no
+    # batch-max lockstep under vmap and far fewer dispatched ops) with a
+    # single-level line search.  Use for MPC-internal rollouts
+    # (derivative and line-search passes) while the real state advance
+    # keeps the full converged solver; the custom_vjp IFT gradients stay
+    # exact at whatever point the fast path reaches.
+    unroll_iterations: int = 0
 
 
 class SapData(NamedTuple):
@@ -563,8 +571,9 @@ def _solve_sap_core(data: SapData, v_guess, sap_params: SapParameters):
 
         zero = jnp.asarray(0.0, dtype)
         amax = jnp.asarray(p.alpha_max, dtype)
-        lo1, hi1, _, _ = refine(zero, amax)
-        lo2, hi2, flo, fhi = refine(lo1, hi1)
+        lo2, hi2, flo, fhi = refine(zero, amax)
+        if p.unroll_iterations <= 0:
+            lo2, hi2, flo, fhi = refine(lo2, hi2)
         # Secant finish inside the final bracket.
         denom = fhi - flo
         alpha = lo2 - flo * (hi2 - lo2) / jnp.where(
@@ -572,8 +581,33 @@ def _solve_sap_core(data: SapData, v_guess, sap_params: SapParameters):
         )
         alpha = jnp.clip(alpha, lo2, hi2)
         # If f(alpha_max) <= 0 the cost still decreases at the cap: take it.
-        f_hi = f(amax[None])[0]
-        return jnp.where(f_hi <= 0, amax, alpha)
+        return jnp.where(fhi <= 0, amax, alpha)
+
+    if p.unroll_iterations > 0:
+        # Fixed-iteration planning path: a lax.scan with no convergence
+        # gating.  Under vmap every lane does the same (small) amount of
+        # work instead of locking to the slowest lane's while_loop count.
+        def body_fixed(v, _):
+            grad, H, _ = grad_and_hess(v)
+            L = jax.scipy.linalg.cho_factor(H)
+            dv = -jax.scipy.linalg.cho_solve(L, grad)
+            alpha = exact_line_search(v, dv)
+            # Residual diagnostic: gradient norm where this step was taken
+            # (one iterate stale — avoids an extra grad/Hessian build).
+            return v + alpha * dv, jnp.linalg.norm(grad)
+
+        v, grad_norms = jax.lax.scan(
+            body_fixed, v_guess, None, length=p.unroll_iterations
+        )
+        vc = jnp.einsum("cij,j->ci", data.J, v)
+        gammas = jax.vmap(gamma_of_vc)(vc, data.R, data.vhat, data.mu)
+        res = grad_norms[-1] / momentum_scale
+        return SapSolution(
+            v=v,
+            gamma=gammas,
+            iterations=jnp.array(p.unroll_iterations),
+            momentum_residual=res,
+        )
 
     def body(state):
         v, grad, H, it, res = state

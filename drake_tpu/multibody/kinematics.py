@@ -18,9 +18,12 @@ import jax.numpy as jnp
 
 from drake_tpu.math import rotations as rot
 from drake_tpu.multibody.model import (
+    BALL,
     FLOATING,
+    PLANAR,
     PRISMATIC,
     REVOLUTE,
+    SCREW,
     WELD,
     MultibodyModel,
     MultibodyParams,
@@ -65,6 +68,44 @@ def joint_transform(model: MultibodyModel, params: MultibodyParams, i: int, q):
         p = p_PJ + R_PJ @ q[qo + 4 : qo + 7]
         # v = [w_B; v_B] body-frame angular + linear velocity.
         S = jnp.eye(6, dtype=dtype)
+    elif jt == BALL:
+        # Spherical joint (reference multibody/tree/ball_rpy_joint.h role,
+        # with a quaternion chart instead of RPY — no gimbal singularity).
+        quat = rot.quat_normalize(q[qo : qo + 4])
+        R = R_PJ @ rot.quat_to_rotation(quat)
+        p = p_PJ
+        S = jnp.concatenate(
+            [jnp.eye(3, dtype=dtype), jnp.zeros((3, 3), dtype)], axis=0
+        )
+    elif jt == PLANAR:
+        # q = [x, y, theta] in the joint frame (translate in Jx-Jy, rotate
+        # about Jz: reference multibody/tree/planar_joint.h).  v =
+        # [vx_B, vy_B, wz] CHILD-frame rates, which keeps S constant in the
+        # child frame (the RNEA/CRBA assumption); qdot_from_v applies R(th).
+        x, y, th = q[qo], q[qo + 1], q[qo + 2]
+        R_J = rot.axis_angle_to_rotation(jnp.asarray([0.0, 0.0, 1.0], dtype), th)
+        R = R_PJ @ R_J
+        p = p_PJ + R_PJ @ jnp.stack([x, y, jnp.zeros((), dtype)])
+        S = jnp.asarray(
+            [
+                [0.0, 0.0, 0.0],
+                [0.0, 0.0, 0.0],
+                [0.0, 0.0, 1.0],
+                [1.0, 0.0, 0.0],
+                [0.0, 1.0, 0.0],
+                [0.0, 0.0, 0.0],
+            ],
+            dtype,
+        )
+    elif jt == SCREW:
+        # Rotation theta about `axis` coupled with translation
+        # pitch*theta/(2 pi) along it (reference multibody/tree/screw_joint.h).
+        qi = q[qo]
+        lead = params.screw_pitch[i] / (2.0 * jnp.pi)
+        R_J = rot.axis_angle_to_rotation(axis, qi)
+        R = R_PJ @ R_J
+        p = p_PJ + (lead * qi) * (R_PJ @ axis)
+        S = jnp.concatenate([axis, lead * axis])[:, None]
     else:
         raise ValueError(f"unknown joint type {jt}")
     return R, p, S

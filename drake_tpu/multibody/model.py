@@ -30,9 +30,14 @@ REVOLUTE = "revolute"
 PRISMATIC = "prismatic"
 WELD = "weld"
 FLOATING = "floating"  # quaternion-floating: q = [qw,qx,qy,qz, x,y,z], v = [w_B; v_B]
+BALL = "ball"  # ball/spherical: q = quaternion [w,x,y,z], v = w_B (3)
+PLANAR = "planar"  # q = [x, y, theta] in joint frame; v = [vx_B, vy_B, wz]
+SCREW = "screw"  # q = theta about/along axis; translation = pitch*theta/(2 pi)
 
-_NQ = {REVOLUTE: 1, PRISMATIC: 1, WELD: 0, FLOATING: 7}
-_NV = {REVOLUTE: 1, PRISMATIC: 1, WELD: 0, FLOATING: 6}
+_NQ = {REVOLUTE: 1, PRISMATIC: 1, WELD: 0, FLOATING: 7, BALL: 4, PLANAR: 3,
+       SCREW: 1}
+_NV = {REVOLUTE: 1, PRISMATIC: 1, WELD: 0, FLOATING: 6, BALL: 3, PLANAR: 3,
+       SCREW: 1}
 
 
 @pytree_dataclass
@@ -47,6 +52,9 @@ class MultibodyParams:
     axis: jnp.ndarray  # (nb, 3) joint axis (child frame)
     damping: jnp.ndarray  # (nb,) viscous joint damping (0 for weld/floating)
     gravity: jnp.ndarray  # (3,) gravity vector in world (default [0,0,-9.81])
+    # (nb,) screw pitch: axial translation per full revolution (reference
+    # multibody/tree/screw_joint.h screw_pitch semantics); 0 for other joints.
+    screw_pitch: jnp.ndarray
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,7 +101,7 @@ class MultibodyModel:
     def default_state(self, dtype=jnp.float32):
         q = np.zeros(self.num_positions)
         for i, jt in enumerate(self.joint_types):
-            if jt == FLOATING:
+            if jt in (FLOATING, BALL):
                 q[self.q_offsets[i]] = 1.0  # identity quaternion w component
         return jnp.asarray(
             np.concatenate([q, np.zeros(self.num_velocities)]), dtype
@@ -116,6 +124,7 @@ class ModelBuilder:
         self._X_PJ_p: List[np.ndarray] = []
         self._axis: List[np.ndarray] = []
         self._damping: List[float] = []
+        self._screw_pitch: List[float] = []
         self._gravity = np.asarray(gravity, dtype=np.float64)
 
     def add_body(
@@ -132,8 +141,44 @@ class ModelBuilder:
         axis: Sequence[float] = (0, 0, 1),
         damping: float = 0.0,
         joint_name: Optional[str] = None,
+        screw_pitch: float = 0.0,
+        axis2: Sequence[float] = (0, 1, 0),
     ) -> int:
-        """Add a body connected to `parent` (None = world) by a joint."""
+        """Add a body connected to `parent` (None = world) by a joint.
+
+        ``joint_type="universal"`` (reference multibody/tree/
+        universal_joint.h): rotation about ``axis`` in the parent frame then
+        ``axis2`` in the child — expanded here into TWO revolute joints with
+        a massless intermediate body (``<name>__U``), which keeps every
+        motion subspace constant in its child frame (the assumption of the
+        body-frame RNEA/CRBA recursions); the composite inertia the first
+        joint sees includes the real child, so the mass matrix stays SPD.
+        q = [theta1, theta2], v = [theta1dot, theta2dot] — same layout as
+        the reference.
+        """
+        if joint_type == "universal":
+            inter = self.add_body(
+                f"{name}__U",
+                parent=parent,
+                joint_type=REVOLUTE,
+                mass=0.0,
+                X_PJ_rpy=X_PJ_rpy,
+                X_PJ_xyz=X_PJ_xyz,
+                axis=axis,
+                damping=damping,
+                joint_name=(joint_name or f"{name}_joint") + "_1",
+            )
+            return self.add_body(
+                name,
+                parent=f"{name}__U",
+                joint_type=REVOLUTE,
+                mass=mass,
+                com=com,
+                inertia_com=inertia_com,
+                axis=axis2,
+                damping=damping,
+                joint_name=(joint_name or f"{name}_joint") + "_2",
+            )
         if parent is None:
             pidx = -1
         else:
@@ -155,6 +200,7 @@ class ModelBuilder:
         n = np.linalg.norm(a)
         self._axis.append(a / n if n > 0 else a)
         self._damping.append(float(damping))
+        self._screw_pitch.append(float(screw_pitch))
         return idx
 
     def build(self, dtype=jnp.float32) -> Tuple[MultibodyModel, MultibodyParams]:
@@ -173,5 +219,6 @@ class ModelBuilder:
             axis=jnp.asarray(np.stack(self._axis), dtype),
             damping=jnp.asarray(np.array(self._damping), dtype),
             gravity=jnp.asarray(self._gravity, dtype),
+            screw_pitch=jnp.asarray(np.array(self._screw_pitch), dtype),
         )
         return model, params

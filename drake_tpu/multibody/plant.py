@@ -44,8 +44,22 @@ def qdot_from_v(model: MultibodyModel, params: MultibodyParams, q, v):
             xyz_dot = R_JB @ v_B
             qdot = qdot.at[qo : qo + 4].set(quat_dot)
             qdot = qdot.at[qo + 4 : qo + 7].set(xyz_dot)
+        elif jt == "ball":
+            quat = rot.quat_normalize(q[qo : qo + 4])
+            qdot = qdot.at[qo : qo + 4].set(
+                rot.quat_derivative(quat, v[vo : vo + 3])
+            )
+        elif jt == "planar":
+            # v = [vx_B, vy_B, wz] (child-frame rates); rotate the linear
+            # part back into the joint frame for [xdot, ydot].
+            th = q[qo + 2]
+            c, s = jnp.cos(th), jnp.sin(th)
+            vx, vy, wz = v[vo], v[vo + 1], v[vo + 2]
+            qdot = qdot.at[qo].set(c * vx - s * vy)
+            qdot = qdot.at[qo + 1].set(s * vx + c * vy)
+            qdot = qdot.at[qo + 2].set(wz)
         else:
-            nq = {"revolute": 1, "prismatic": 1, "weld": 0}[jt]
+            nq = {"revolute": 1, "prismatic": 1, "weld": 0, "screw": 1}[jt]
             if nq:
                 qdot = qdot.at[qo : qo + nq].set(v[vo : vo + nq])
     return qdot
