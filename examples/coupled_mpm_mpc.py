@@ -25,6 +25,10 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--samples", type=int, default=None)
 parser.add_argument("--steps", type=int, default=50)
+parser.add_argument(
+    "--html", type=str, default=None,
+    help="record the closed-loop push as a standalone meshcat HTML animation",
+)
 args = parser.parse_args()
 
 import jax
@@ -145,3 +149,38 @@ elif finite and moved > 0.03:
           f"{abs(x_end - goal_x):.3f} from goal)")
 else:
     print("COUPLED MPC FAILED")
+
+# --- optional meshcat HTML animation recording ------------------------------
+if args.html:
+    from drake_tpu.viz.meshcat import Meshcat, MeshcatAnimation
+
+    viz = Meshcat()
+    fps = 1.0 / world.time_step
+    anim = MeshcatAnimation(frames_per_second=min(fps, 30.0))
+    # Static ground plane for context.
+    viz.set_object("ground", sh.Box((1.0, 1.0, 0.02)),
+                   color=0x9999AA, p=(0.5, 0.5, -0.01))
+    # Paddle: one box whose transform animates.
+    viz.set_object("paddle", sh.Box((0.02, 0.3, 0.3)), color=0x3366CC)
+    xs_np = np.asarray(states.rigid)  # (steps, 2) [q, v]
+    pts_np = np.asarray(states.particles.x)  # (steps, n, 3)
+    stride = max(1, args.steps // 60)  # cap the recording size
+    frames = list(range(0, args.steps, stride))
+    for f_idx, k in enumerate(frames):
+        anim.set_transform(
+            f_idx, "paddle", p=(float(xs_np[k, 0]), 0.5, 0.15)
+        )
+        # Blob: per-frame point clouds flipped by a visibility track (the
+        # way meshcat animates topology-changing data).
+        path = f"blob/frame{f_idx:03d}"
+        viz.set_points(path, pts_np[k].T.astype(np.float32),
+                       colors=None, size=0.012)
+        viz.set_property(path, "visible", f_idx == 0)
+        for other in range(len(frames)):
+            anim.set_property(other, path, "visible", "boolean",
+                              other == f_idx)
+    viz.set_animation(anim)
+    with open(args.html, "w") as f:
+        f.write(viz.static_html())
+    print(f"wrote meshcat animation: {args.html} "
+          f"({len(frames)} frames, {pts_np.shape[1]} particles)")

@@ -1,0 +1,256 @@
+"""Meshcat bridge tests: msgpack codec, message shapes matching the
+reference protocol (geometry/meshcat_types_internal.h), animation clips,
+static HTML, and a live websocket round trip."""
+
+import base64
+import hashlib
+import socket
+import struct
+
+import numpy as np
+
+from drake_tpu.geometry import shapes as geom
+from drake_tpu.viz import msgpack as mp
+from drake_tpu.viz.meshcat import (
+    Meshcat,
+    MeshcatAnimation,
+    _rotation_to_quat_xyzw,
+    ws_parse_frames,
+)
+
+
+class TestMsgpack:
+    def test_roundtrip_scalars(self):
+        for v in [None, True, False, 0, 1, 127, 128, 255, 256, 65536,
+                  -1, -32, -33, -200, -70000, 3.5, "hello", "x" * 300,
+                  b"\x00\x01\x02"]:
+            assert mp.unpackb(mp.packb(v)) == v
+
+    def test_roundtrip_nested(self):
+        v = {"a": [1, 2, {"b": None}], "c": "s", "d": [True, 2.5]}
+        assert mp.unpackb(mp.packb(v)) == v
+
+    def test_large_collections(self):
+        v = list(range(70000))
+        assert mp.unpackb(mp.packb(v)) == v
+        m = {str(i): i for i in range(20)}
+        assert mp.unpackb(mp.packb(m)) == m
+
+    def test_typed_array_convention(self):
+        """Matches the reference Eigen adaptor: map {itemSize, type,
+        array: ext(0x17, float32 column-major bytes), normalized: false}
+        (meshcat_types_internal.h:560-615)."""
+        mat = np.arange(6, dtype=np.float32).reshape(3, 2)
+        obj = mp.unpackb(mp.packb(mp.TypedArray(mat)))
+        assert obj["itemSize"] == 3
+        assert obj["type"] == "Float32Array"
+        assert obj["normalized"] is False
+        ext = obj["array"]
+        assert ext.code == 0x17
+        decoded = np.frombuffer(ext.data, np.float32).reshape(3, 2, order="F")
+        np.testing.assert_array_equal(decoded, mat)
+
+    def test_typed_array_uint32(self):
+        faces = np.asarray([[0, 1], [1, 2], [2, 3]], np.uint32)
+        obj = mp.unpackb(mp.packb(mp.TypedArray(faces)))
+        assert obj["type"] == "Uint32Array" and obj["array"].code == 0x16
+
+
+class TestMeshcatMessages:
+    def test_set_object_shape(self):
+        m = Meshcat()
+        m.set_object("box", geom.Box((0.1, 0.2, 0.3)), color=0xFF0000,
+                     p=(1, 2, 3))
+        (msg,) = m._packed_state()
+        d = mp.unpackb(msg)
+        assert d["type"] == "set_object"
+        assert d["path"] == "/drake_tpu/box"
+        o = d["object"]
+        assert o["metadata"] == {"type": "Object", "version": 4.5}
+        (g,) = o["geometries"]
+        assert g["type"] == "BoxGeometry"
+        assert (g["width"], g["height"], g["depth"]) == (0.1, 0.2, 0.3)
+        (mat,) = o["materials"]
+        assert mat["color"] == 0xFF0000
+        mesh = o["object"]
+        assert mesh["type"] == "Mesh"
+        assert mesh["geometry"] == g["uuid"]
+        assert mesh["material"] == mat["uuid"]
+        # Column-major 4x4: translation in elements 12..14.
+        assert mesh["matrix"][12:15] == [1.0, 2.0, 3.0]
+
+    def test_set_transform_shape(self):
+        m = Meshcat()
+        th = 0.5
+        R = np.array(
+            [
+                [np.cos(th), -np.sin(th), 0],
+                [np.sin(th), np.cos(th), 0],
+                [0, 0, 1],
+            ]
+        )
+        m.set_transform("frame", R=R, p=(0.5, 0, 1))
+        d = mp.unpackb(list(m._transforms.values())[0])
+        assert d["type"] == "set_transform"
+        M = np.asarray(d["matrix"]).reshape(4, 4, order="F")
+        np.testing.assert_allclose(M[:3, :3], R, atol=1e-12)
+        np.testing.assert_allclose(M[:3, 3], [0.5, 0, 1], atol=1e-12)
+
+    def test_points_and_mesh(self):
+        m = Meshcat()
+        pts = np.random.default_rng(0).random((3, 50)).astype(np.float32)
+        m.set_points("cloud", pts, colors=pts)
+        verts = np.asarray([[0, 1, 0], [0, 0, 1], [0, 0, 0]], np.float32)
+        faces = np.asarray([[0], [1], [2]], np.uint32)
+        m.set_triangle_mesh("tri", verts, faces)
+        msgs = [mp.unpackb(b) for b in m._packed_state()]
+        cloud = next(d for d in msgs if d["path"].endswith("cloud"))
+        obj = cloud["object"]
+        assert obj["object"]["type"] == "Points"
+        attrs = obj["geometries"][0]["data"]["attributes"]
+        assert attrs["position"]["itemSize"] == 3
+        assert attrs["color"]["type"] == "Float32Array"
+        tri = next(d for d in msgs if d["path"].endswith("tri"))
+        assert tri["object"]["geometries"][0]["data"]["index"]["type"] == (
+            "Uint32Array"
+        )
+
+    def test_delete_clears_subtree(self):
+        m = Meshcat()
+        m.set_object("a/b", geom.Sphere(0.1))
+        m.set_object("c", geom.Sphere(0.1))
+        m.delete("a")
+        paths = [mp.unpackb(b)["path"] for b in m._packed_state()]
+        assert paths == ["/drake_tpu/c"]
+
+    def test_animation_message(self):
+        m = Meshcat()
+        anim = MeshcatAnimation(frames_per_second=32.0)
+        for k in range(4):
+            anim.set_transform(k, "obj", p=(0.1 * k, 0, 0))
+        m.set_animation(anim)
+        d = mp.unpackb(m._animation)
+        assert d["type"] == "set_animation"
+        (track,) = d["animations"]
+        assert track["path"] == "/drake_tpu/obj"
+        clip = track["clip"]
+        assert clip["fps"] == 32.0
+        names = {t["name"] for t in clip["tracks"]}
+        assert names == {".position", ".quaternion"}
+        pos = next(t for t in clip["tracks"] if t["name"] == ".position")
+        assert pos["type"] == "vector3"
+        assert [k["time"] for k in pos["keys"]] == [0, 1, 2, 3]
+        assert pos["keys"][3]["value"][0] == 0.30000000000000004 or (
+            abs(pos["keys"][3]["value"][0] - 0.3) < 1e-12
+        )
+        assert d["options"]["loopMode"] == 2201
+
+    def test_quat_matches_rotation(self):
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            w = rng.standard_normal(3)
+            th = np.linalg.norm(w)
+            a = w / th
+            K = np.array(
+                [[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]]
+            )
+            R = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+            x, y, z, qw = _rotation_to_quat_xyzw(R)
+            # Rebuild R from the quaternion and compare.
+            q = np.array([qw, x, y, z])
+            R2 = np.array([
+                [1 - 2 * (q[2] ** 2 + q[3] ** 2),
+                 2 * (q[1] * q[2] - q[0] * q[3]),
+                 2 * (q[1] * q[3] + q[0] * q[2])],
+                [2 * (q[1] * q[2] + q[0] * q[3]),
+                 1 - 2 * (q[1] ** 2 + q[3] ** 2),
+                 2 * (q[2] * q[3] - q[0] * q[1])],
+                [2 * (q[1] * q[3] - q[0] * q[2]),
+                 2 * (q[2] * q[3] + q[0] * q[1]),
+                 1 - 2 * (q[1] ** 2 + q[2] ** 2)],
+            ])
+            np.testing.assert_allclose(R2, R, atol=1e-10)
+
+    def test_static_html(self):
+        m = Meshcat()
+        m.set_object("ball", geom.Sphere(0.05))
+        m.set_transform("ball", p=(0, 0, 1))
+        html = m.static_html()
+        assert "handle_command_bytearray" in html
+        assert html.count("atob") == 2
+        # The embedded base64 decodes back to our packed messages.
+        b64 = html.split('atob("')[1].split('")')[0]
+        d = mp.unpackb(base64.b64decode(b64))
+        assert d["type"] == "set_object"
+
+
+class TestWebsocketServer:
+    def test_handshake_and_scene_push(self):
+        m = Meshcat()
+        m.set_object("ball", geom.Sphere(0.05))
+        port = m.serve()
+        try:
+            c = socket.create_connection(("127.0.0.1", port), timeout=5)
+            key = base64.b64encode(b"0123456789abcdef").decode()
+            c.sendall(
+                f"GET / HTTP/1.1\r\nHost: localhost\r\nUpgrade: websocket\r\n"
+                f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+                f"Sec-WebSocket-Version: 13\r\n\r\n".encode()
+            )
+            c.settimeout(5)
+            data = b""
+            while b"\r\n\r\n" not in data:
+                data += c.recv(4096)
+            head, rest = data.split(b"\r\n\r\n", 1)
+            assert b"101" in head.split(b"\r\n")[0]
+            expect = base64.b64encode(
+                hashlib.sha1(
+                    (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()
+                ).digest()
+            )
+            assert expect in head
+            # Scene push: one binary frame with the set_object message.
+            while not ws_parse_frames(rest):
+                rest += c.recv(4096)
+            frames = ws_parse_frames(rest)
+            d = mp.unpackb(frames[0])
+            assert d["type"] == "set_object"
+            # Live update broadcast reaches the connected client.
+            import time
+            time.sleep(0.1)  # let the server register the client
+            m.set_transform("ball", p=(1, 0, 0))
+            buf = b""
+            got = []
+            c.settimeout(5)
+            while not got:
+                buf += c.recv(4096)
+                got = [
+                    f for f in ws_parse_frames(buf)
+                    if mp.unpackb(f)["type"] == "set_transform"
+                ]
+            assert mp.unpackb(got[0])["path"] == "/drake_tpu/ball"
+            c.close()
+        finally:
+            m.close()
+
+    def test_plain_http_serves_snapshot(self):
+        m = Meshcat()
+        m.set_object("ball", geom.Sphere(0.05))
+        port = m.serve()
+        try:
+            c = socket.create_connection(("127.0.0.1", port), timeout=5)
+            c.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+            c.settimeout(5)
+            data = b""
+            while True:
+                try:
+                    chunk = c.recv(65536)
+                except socket.timeout:
+                    break
+                if not chunk:
+                    break
+                data += chunk
+            assert b"200 OK" in data
+            assert b"handle_command_bytearray" in data
+        finally:
+            m.close()
