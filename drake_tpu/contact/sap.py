@@ -61,6 +61,28 @@ class SapParameters:
     # keeps the full converged solver; the custom_vjp IFT gradients stay
     # exact at whatever point the fast path reaches.
     unroll_iterations: int = 0
+    # Contact-constraint model (DiscreteContactApproximation role,
+    # multibody_plant.h:230): "cone" = regularized friction-cone projection
+    # (kSap); "hc_lagged"/"hc_similar" = the convex Hunt-Crossley
+    # approximations (kLagged/kSimilar, sap_hunt_crossley_constraint.h:
+    # gamma_n/dt = (fe0 + dt k xdot)+ (1 + d xdot)+ with regularized
+    # friction via the soft tangential norm).
+    contact_model: str = "cone"
+    # Stiction velocity tolerance for the HC soft norm (Drake's
+    # stiction_tolerance default, 1e-4 m/s).
+    stiction_tolerance: float = 1e-4
+
+
+class HcData(NamedTuple):
+    """Per-contact Hunt-Crossley constraint data (the InvariantData of
+    sap_hunt_crossley_constraint.h:19-38).  All (nc,) arrays."""
+
+    k: jnp.ndarray  # contact stiffness
+    d: jnp.ndarray  # Hunt-Crossley dissipation (s/m)
+    fe0: jnp.ndarray  # previous-step elastic force k*x0 (signed)
+    n0: jnp.ndarray  # previous-step normal impulse (for kLagged friction)
+    eps: jnp.ndarray  # soft-norm regularization epsilon_s
+    h: jnp.ndarray  # time step (replicated per contact for clean vmaps)
 
 
 class SapData(NamedTuple):
@@ -87,6 +109,7 @@ class SapData(NamedTuple):
     R_pd: jnp.ndarray  # (npd,) 1/(h (Kp h + Kd))
     vhat_pd: jnp.ndarray  # (npd,) servo bias velocity
     glim_pd: jnp.ndarray  # (npd,) impulse bound h * effort_limit
+    hc: Optional[HcData] = None  # Hunt-Crossley data (contact_model="hc_*")
 
 
 class SapSolution(NamedTuple):
@@ -136,6 +159,56 @@ def _contact_cost(vc, R, vhat, mu):
     y = (vhat - vc) / R
     gamma = _project_gamma(y, R, mu)
     return 0.5 * jnp.sum(gamma * R * gamma), gamma
+
+
+# ---------------------------------------------------------------------------
+# Hunt-Crossley convex approximations (kLagged / kSimilar).
+#
+# Re-derivation of sap_hunt_crossley_constraint.{h,cc} (Castro, Han,
+# Masterjohn 2023, arXiv:2312.03908): the discrete normal impulse is
+#   n(vn) = h (fe0 - h k vn)+ (1 - d vn)+,
+# friction is regularized through the soft norm ||vt||_s = sqrt(|vt|^2 +
+# eps^2) - eps.  The whole constraint is expressed HERE as one scalar cost
+# l(vc); impulses are -dl/dvc and the 3x3 Hessian block d2l/dvc2 comes from
+# autodiff — replacing the reference's hand-coded DoCalcImpulse /
+# DoCalcCostHessian (sap_hunt_crossley_constraint.cc:116-260) with the
+# closed-form antiderivative N (cc:68-114) only.
+# ---------------------------------------------------------------------------
+
+
+def _hc_antiderivative(h, k, d, fe0, vn):
+    """N(vn): antiderivative of n, constant past v_hat = min(vx, vd)."""
+    vd = 1.0 / (d + 1e-20)
+    vx = fe0 / h / (k + 1e-20)
+    v_hat = jnp.minimum(vx, vd)
+    v = jnp.minimum(vn, v_hat)
+    df = -h * k * v
+    return h * (
+        v * (fe0 + 0.5 * df) - d * v * v / 2.0 * (fe0 + 2.0 / 3.0 * df)
+    )
+
+
+def _hc_cost(vc, mu, hc_i, similar: bool):
+    """Scalar convex cost of one Hunt-Crossley contact at velocity vc.
+
+    hc_i: per-contact HcData leaf tuple (k, d, fe0, n0, eps, h).
+    kSimilar: l = -N(z), z = vn - mu ||vt||_s  (friction from current n(z)).
+    kLagged:  l = -N(vn) + mu ||vt||_s n0      (friction from lagged n0).
+    """
+    k, d, fe0, n0, eps, h = hc_i
+    vt = vc[:2]
+    vn = vc[2]
+    vt_soft = jnp.sqrt(vt @ vt + eps * eps) - eps
+    if similar:
+        z = vn - mu * vt_soft
+        return -_hc_antiderivative(h, k, d, fe0, z)
+    return -_hc_antiderivative(h, k, d, fe0, vn) + mu * vt_soft * n0
+
+
+def _hc_gamma(vc, mu, hc_i, similar: bool):
+    """Impulse gamma = -dl/dvc (exact; n(z) and the soft tangent emerge
+    from differentiating the antiderivative-based cost)."""
+    return -jax.grad(_hc_cost)(vc, mu, hc_i, similar)
 
 
 # ---------------------------------------------------------------------------
@@ -232,6 +305,27 @@ def assemble(
     t_scale = jnp.where(Rn_phys >= Rn_near_rigid, h + tau_d, h)
     vhat_n = -contact.phi / t_scale
     vhat = jnp.stack([jnp.zeros_like(vhat_n), jnp.zeros_like(vhat_n), vhat_n], axis=1)
+
+    # Hunt-Crossley invariant data (contact_model="hc_lagged"/"hc_similar",
+    # sap_hunt_crossley_constraint.cc MakeData): fe0 = k x0 (signed, so
+    # still-separated pairs engage only if they approach fast enough —
+    # speculative contact), n0 = h fe0+ (1 - d vn0)+ at the previous
+    # velocity, eps = max(stiction_tol, mu Rt n0).  The scene's dissipation
+    # parameter is interpreted as the HC d (s/m) under these models.
+    if sap_params.contact_model != "cone":
+        fe0 = -k * contact.phi
+        vn0 = jnp.einsum("cij,j->ci", J, v0)[:, 2]
+        d_hc = tau_d
+        n0 = h * jnp.maximum(fe0, 0.0) * jnp.maximum(1.0 - d_hc * vn0, 0.0)
+        eps = jnp.maximum(
+            sap_params.stiction_tolerance, contact.friction * Rt * n0
+        )
+        hc = HcData(
+            k=k, d=d_hc, fe0=fe0, n0=n0, eps=eps,
+            h=jnp.full_like(fe0, h),
+        )
+    else:
+        hc = None
 
     # One-sided joint-limit constraints (sap_limit_constraint role): for each
     # 1-dof joint, phi_lower = q - ql >= 0 with row +e_j, phi_upper = qu - q
@@ -399,6 +493,7 @@ def assemble(
         J_lim=J_lim, R_lim=R_lim, vhat_lim=vhat_lim,
         J_eq=J_eq, R_eq=R_eq, vhat_eq=vhat_eq,
         J_pd=J_pd, R_pd=R_pd, vhat_pd=vhat_pd, glim_pd=glim_pd,
+        hc=hc,
     )
     return data, contact
 
@@ -435,11 +530,22 @@ def _pd_cost(data: SapData, v):
     return jnp.sum(data.R_pd * (0.5 * c * c + c * (y - c)))
 
 
-def _total_cost(data: SapData, v):
+def _total_cost(data: SapData, v,
+                sap_params: "SapParameters" = None):
+    p = sap_params or SapParameters()
     dv = v - data.v_star
     cost = 0.5 * dv @ (data.A @ dv)
     vc = jnp.einsum("cij,j->ci", data.J, v)
-    costs, gammas = jax.vmap(_contact_cost)(vc, data.R, data.vhat, data.mu)
+    if p.contact_model == "cone":
+        costs, gammas = jax.vmap(_contact_cost)(vc, data.R, data.vhat, data.mu)
+    else:
+        similar = p.contact_model == "hc_similar"
+        costs = jax.vmap(lambda v1, m1, hc1: _hc_cost(v1, m1, hc1, similar))(
+            vc, data.mu, data.hc
+        )
+        gammas = jax.vmap(lambda v1, m1, hc1: _hc_gamma(v1, m1, hc1, similar))(
+            vc, data.mu, data.hc
+        )
     if data.R_lim.shape[0]:
         gl = _limit_gamma(data, v)
         cost = cost + 0.5 * jnp.sum(data.R_lim * gl * gl)
@@ -478,8 +584,30 @@ def _solve_sap_core(data: SapData, v_guess, sap_params: SapParameters):
     dtype = v_guess.dtype
     p = sap_params
 
-    def gamma_of_vc(vc, R, vhat, mu):
-        return _project_gamma((vhat - vc) / R, R, mu)
+    similar = p.contact_model == "hc_similar"
+    if p.contact_model == "cone":
+
+        def gamma_one(vc1, R1, vhat1, mu1, hc1):
+            return _project_gamma((vhat1 - vc1) / R1, R1, mu1)
+
+    else:
+
+        def gamma_one(vc1, R1, vhat1, mu1, hc1):
+            return _hc_gamma(vc1, mu1, hc1, similar)
+
+    hc_args = (
+        data.hc
+        if data.hc is not None
+        else HcData(*([jnp.zeros_like(data.mu)] * 6))
+    )
+
+    def gamma_all(vc_all):  # (nc, 3) -> (nc, 3)
+        return jax.vmap(gamma_one)(vc_all, data.R, data.vhat, data.mu, hc_args)
+
+    def G_all(vc_all):  # (nc, 3) -> (nc, 3, 3): G = -dgamma/dvc (PSD)
+        return -jax.vmap(jax.jacfwd(gamma_one))(
+            vc_all, data.R, data.vhat, data.mu, hc_args
+        )
 
     has_lim = bool(data.R_lim.shape[0])
     has_eq = bool(data.R_eq.shape[0])
@@ -487,9 +615,9 @@ def _solve_sap_core(data: SapData, v_guess, sap_params: SapParameters):
 
     def grad_and_hess(v):
         vc = jnp.einsum("cij,j->ci", data.J, v)
-        gammas = jax.vmap(gamma_of_vc)(vc, data.R, data.vhat, data.mu)
+        gammas = gamma_all(vc)
         # G_i = -dgamma/dvc (3x3, PSD); exact via jacfwd of the projection.
-        Gs = -jax.vmap(jax.jacfwd(gamma_of_vc))(vc, data.R, data.vhat, data.mu)
+        Gs = G_all(vc)
         grad = data.A @ (v - data.v_star) - jnp.einsum("cij,ci->j", data.J, gammas)
         H = data.A + jnp.einsum("cik,ckl,clj->ij",
                                 jnp.swapaxes(data.J, 1, 2), Gs, data.J)
@@ -529,11 +657,7 @@ def _solve_sap_core(data: SapData, v_guess, sap_params: SapParameters):
 
         def f(alphas):  # vectorized over a (K,) alpha grid
             al = alphas[:, None, None]
-            g = jax.vmap(
-                jax.vmap(gamma_of_vc), in_axes=(0, None, None, None)
-            )(
-                vc0[None] + al * dvc[None], data.R, data.vhat, data.mu
-            )  # (K, nc, 3)
+            g = jax.vmap(gamma_all)(vc0[None] + al * dvc[None])  # (K, nc, 3)
             out = a0 + alphas * a1 - jnp.einsum("kci,ci->k", g, dvc)
             if has_lim:
                 gl = jnp.maximum(
@@ -592,15 +716,22 @@ def _solve_sap_core(data: SapData, v_guess, sap_params: SapParameters):
             L = jax.scipy.linalg.cho_factor(H)
             dv = -jax.scipy.linalg.cho_solve(L, grad)
             alpha = exact_line_search(v, dv)
+            # Branch-free NaN safeguard: with no convergence gating, one
+            # ill-conditioned f32 factorization in one vmapped lane would
+            # otherwise poison its whole MPC scenario.  A zero step leaves
+            # the lane at its previous (finite) iterate.
+            step = alpha * dv
+            ok = jnp.all(jnp.isfinite(step))
+            v_new = jnp.where(ok, v + step, v)
             # Residual diagnostic: gradient norm where this step was taken
             # (one iterate stale — avoids an extra grad/Hessian build).
-            return v + alpha * dv, jnp.linalg.norm(grad)
+            return v_new, jnp.linalg.norm(grad)
 
         v, grad_norms = jax.lax.scan(
             body_fixed, v_guess, None, length=p.unroll_iterations
         )
         vc = jnp.einsum("cij,j->ci", data.J, v)
-        gammas = jax.vmap(gamma_of_vc)(vc, data.R, data.vhat, data.mu)
+        gammas = gamma_all(vc)
         res = grad_norms[-1] / momentum_scale
         return SapSolution(
             v=v,
@@ -614,7 +745,11 @@ def _solve_sap_core(data: SapData, v_guess, sap_params: SapParameters):
         L = jax.scipy.linalg.cho_factor(H)
         dv = -jax.scipy.linalg.cho_solve(L, grad)
         alpha = exact_line_search(v, dv)
-        v_new = v + alpha * dv
+        step = alpha * dv
+        # Same branch-free NaN safeguard as the fixed path: a poisoned lane
+        # keeps its previous iterate (and runs out the iteration budget)
+        # instead of returning NaN velocities into the plant step.
+        v_new = jnp.where(jnp.all(jnp.isfinite(step)), v + step, v)
         grad_new, H_new, _ = grad_and_hess(v_new)
         res_new = jnp.linalg.norm(grad_new) / momentum_scale
         return (v_new, grad_new, H_new, it + 1, res_new)
@@ -629,7 +764,7 @@ def _solve_sap_core(data: SapData, v_guess, sap_params: SapParameters):
         cond, body, (v_guess, grad0, H0, jnp.array(0), res0)
     )
     vc = jnp.einsum("cij,j->ci", data.J, v)
-    gammas = jax.vmap(gamma_of_vc)(vc, data.R, data.vhat, data.mu)
+    gammas = gamma_all(vc)
     return SapSolution(v=v, gamma=gammas, iterations=it, momentum_residual=res)
 
 
@@ -652,9 +787,15 @@ def _solve_bwd(sap_params, res, cot):
 
     def residual(data_, v_):
         vc = jnp.einsum("cij,j->ci", data_.J, v_)
-        gammas = jax.vmap(
-            lambda vc_, R, vhat, mu: _project_gamma((vhat - vc_) / R, R, mu)
-        )(vc, data_.R, data_.vhat, data_.mu)
+        if sap_params.contact_model == "cone":
+            gammas = jax.vmap(
+                lambda vc_, R, vhat, mu: _project_gamma((vhat - vc_) / R, R, mu)
+            )(vc, data_.R, data_.vhat, data_.mu)
+        else:
+            similar_ = sap_params.contact_model == "hc_similar"
+            gammas = jax.vmap(
+                lambda v1, m1, hc1: _hc_gamma(v1, m1, hc1, similar_)
+            )(vc, data_.mu, data_.hc)
         r = data_.A @ (v_ - data_.v_star) - jnp.einsum(
             "cij,ci->j", data_.J, gammas
         )
