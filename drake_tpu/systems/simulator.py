@@ -170,3 +170,139 @@ def simulate_adaptive(
     state = (t0, x0, jnp.asarray(h0, x0.dtype), jnp.array(0), jnp.array(0))
     t, x, h, steps, rejects = jax.lax.while_loop(cond, body, state)
     return x, {"num_steps": steps, "num_rejected": rejects, "final_time": t}
+
+
+# ---------------------------------------------------------------------------
+# Hybrid simulation: witness functions + state resets.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class WitnessFunction:
+    """A state-triggered event (reference systems/framework/
+    witness_function.h + the isolation loop simulator.cc:51-55,224).
+
+    ``g(params, x, t) -> scalar``: the event fires when g crosses zero in
+    ``direction`` within a step; the crossing is isolated by fixed-count
+    bisection (compiler-friendly replacement for Drake's tolerance-driven
+    loop) and ``reset(params, x, t) -> x_new`` is applied at the event.
+
+    direction: "positive_then_negative" | "negative_then_positive" |
+    "crosses_zero".
+    """
+
+    g: Callable
+    reset: Callable
+    direction: str = "positive_then_negative"
+
+    def triggered(self, g0, g1):
+        if self.direction == "positive_then_negative":
+            return jnp.logical_and(g0 > 0, g1 <= 0)
+        if self.direction == "negative_then_positive":
+            return jnp.logical_and(g0 < 0, g1 >= 0)
+        return jnp.sign(g0) * jnp.sign(g1) < 0
+
+
+def simulate_hybrid(
+    system: ContinuousSystem,
+    params,
+    x0,
+    t_final: float,
+    dt: float,
+    witnesses,
+    u_fn: Optional[Callable] = None,  # (params, x, t) -> u
+    method: str = "rk4",
+    bisection_iters: int = 24,
+):
+    """Fixed-macro-step rollout with witness isolation and resets.
+
+    Each macro step integrates dt, checks every witness for a sign change,
+    bisects the EARLIEST crossing to dt/2^bisection_iters resolution,
+    applies that witness's reset there, and integrates the remainder of the
+    step from the post-reset state.  One event per macro step (Drake
+    handles simultaneous events by per-step dispatch too); pick dt small
+    enough that events don't pile up.  jit/vmap/grad-compatible: the event
+    machinery is lax.cond/where only.
+
+    Returns (xs (N+1, nx), ts (N+1,), event_counts (n_witness,)).
+    """
+    witnesses = tuple(witnesses)
+    step = _integrators.get(method)
+    nstep = int(round(t_final / dt))
+    dtype = x0.dtype
+
+    def u_of(x, t):
+        if u_fn is None:
+            return jnp.zeros(system.num_inputs, dtype)
+        return u_fn(params, x, t)
+
+    def integrate(x, t, h):
+        return step(system.f, params, x, u_of(x, t), t, h)
+
+    def macro(carry, _):
+        x, t, counts = carry
+        x1 = integrate(x, t, dt)
+        g0s = jnp.stack([w.g(params, x, t) for w in witnesses])
+        g1s = jnp.stack([w.g(params, x1, t + dt) for w in witnesses])
+        trig = jnp.stack(
+            [w.triggered(g0s[i], g1s[i]) for i, w in enumerate(witnesses)]
+        )
+
+        def isolate(i):
+            """Bisect the crossing fraction alpha of witness i in [0, 1]."""
+
+            def body(carry2, _):
+                lo, hi = carry2
+                mid = 0.5 * (lo + hi)
+                xm = integrate(x, t, mid * dt)
+                gm = jax.lax.switch(
+                    i, [lambda xx, tt, w=w: w.g(params, xx, tt)
+                        for w in witnesses], xm, t + mid * dt
+                )
+                # Crossing is between lo and mid iff the sign already
+                # changed relative to the step start.
+                crossed = jnp.sign(g0s[i]) * jnp.sign(gm) <= 0
+                lo = jnp.where(crossed, lo, mid)
+                hi = jnp.where(crossed, mid, hi)
+                return (lo, hi), ()
+
+            (lo, hi), _ = jax.lax.scan(
+                body,
+                (jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype)),
+                None,
+                length=bisection_iters,
+            )
+            return hi
+
+        alphas = jnp.stack(
+            [jnp.where(trig[i], isolate(i), jnp.asarray(jnp.inf, dtype))
+             for i in range(len(witnesses))]
+        )
+        any_trig = jnp.any(trig)
+        first = jnp.argmin(alphas)
+        alpha = jnp.where(any_trig, jnp.min(alphas), 1.0)
+
+        def handle(_):
+            t_ev = t + alpha * dt
+            x_ev = integrate(x, t, alpha * dt)
+            x_reset = jax.lax.switch(
+                first,
+                [lambda xx, tt, w=w: w.reset(params, xx, tt)
+                 for w in witnesses],
+                x_ev, t_ev,
+            )
+            return integrate(x_reset, t_ev, (1.0 - alpha) * dt)
+
+        x_next = jax.lax.cond(any_trig, handle, lambda _: x1, None)
+        counts = counts + jnp.where(
+            jnp.arange(len(witnesses)) == first, any_trig, False
+        ).astype(jnp.int32)
+        return (x_next, t + dt, counts), x_next
+
+    counts0 = jnp.zeros(len(witnesses), jnp.int32)
+    (xf, tf, counts), xs = jax.lax.scan(
+        macro, (x0, jnp.asarray(0.0, dtype), counts0), None, length=nstep
+    )
+    xs = jnp.concatenate([x0[None], xs], axis=0)
+    ts = dt * jnp.arange(nstep + 1, dtype=dtype)
+    return xs, ts, counts
