@@ -102,3 +102,43 @@ class TestYamlConfig:
         c = cfg.load_yaml(cfg.PlantConfig, "time_step: 0.01\n")
         assert c.time_step == 0.01
         assert c.discrete_contact_approximation == "sap"
+
+
+class TestCheckpoint:
+    """save/load of simulation-state pytrees (io/checkpoint.py — the
+    Context-cloning + orbax role, reference context.h:463)."""
+
+    def test_roundtrip_nested_pytree(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from drake_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+        from drake_tpu.mpm import solver as mpm
+
+        cfg = mpm.MpmConfig(grid_size=(8, 8, 8), dx=1.0 / 8)
+        state = mpm.make_particle_block(cfg, (0.2, 0.2, 0.2), (0.4, 0.4, 0.4))
+        p = str(tmp_path / "ck.npz")
+        save_checkpoint(p, state, step=42, metadata={"note": "hi"})
+        restored, step, meta = load_checkpoint(p, like=state)
+        assert step == 42 and meta["note"] == "hi"
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state),
+            jax.tree_util.tree_leaves(restored),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert a.dtype == b.dtype
+
+    def test_structure_mismatch_raises(self, tmp_path):
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from drake_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+        state = {"a": jnp.ones(3), "b": jnp.zeros(2)}
+        p = str(tmp_path / "ck.npz")
+        save_checkpoint(p, state)
+        with _pytest.raises(ValueError):
+            load_checkpoint(p, like={"a": jnp.ones(3)})
+        with _pytest.raises(ValueError):
+            load_checkpoint(p, like={"a": jnp.ones(3), "c": jnp.zeros(2)})
