@@ -166,6 +166,34 @@ class BsplineTrajectory:
                 d[j] = (1 - alpha) * d[j - 1] + alpha * d[j]
         return d[k - 1]
 
+    def start_time(self):
+        return self.knots[0]
+
+    def end_time(self):
+        return self.knots[-1]
+
+    def derivative(self) -> "BsplineTrajectory":
+        """Exact derivative spline: order k-1 with control points
+        (k-1) (P_{i+1} - P_i) / (t_{i+k} - t_{i+1}) over knots[1:-1]."""
+        k = self.order
+        P = self.control_points
+        t = self.knots
+        denom = t[k : k + P.shape[0] - 1] - t[1 : P.shape[0]]
+        d = (
+            (k - 1)
+            * (P[1:] - P[:-1])
+            / jnp.maximum(denom, 1e-12)[:, None]
+        )
+        return BsplineTrajectory(
+            knots=self.knots[1:-1], control_points=d, order=k - 1
+        )
+
+    def derivative_value(self, t, order: int = 1):
+        traj = self
+        for _ in range(order):
+            traj = traj.derivative()
+        return traj.value(t)
+
     @staticmethod
     def make_clamped_uniform(control_points, order: int = 4, t0=0.0, tf=1.0):
         control_points = jnp.asarray(control_points)

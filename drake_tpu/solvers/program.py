@@ -264,7 +264,11 @@ class MathematicalProgram:
         ub = np.concatenate([box_ub, np.asarray(sl_ub, float)])
         # Symmetrize (AddQuadraticCost convention is 0.5 x'Qx with Q sym).
         Pt = 0.5 * (Pt + Pt.T)
-        opts = options or ipm.IpmOptions()
+        # Ignore NLP solver options when the program dispatches to the QP
+        # backend (mirrors SolverOptions being per-solver in the reference).
+        opts = (
+            options if isinstance(options, ipm.IpmOptions) else ipm.IpmOptions()
+        )
         sol = ipm.solve_qp_ipm(
             jnp.asarray(Pt, dtype), jnp.asarray(qt, dtype),
             jnp.asarray(G, dtype), jnp.asarray(b, dtype),
