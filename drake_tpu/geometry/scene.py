@@ -23,6 +23,7 @@ import dataclasses
 import itertools
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -193,6 +194,10 @@ def _contacts_per_pair(ga: CollisionGeometry, gb: CollisionGeometry) -> int:
         frozenset(("Box",)): 8,
         frozenset(("Capsule", "Box")): 3,
     }
+    if "Mesh" in kinds:
+        # Mesh vs SDF shape: top-K deepest sampled vertices.
+        mesh = a if isinstance(a, sh.Mesh) else b
+        return min(8, mesh.num_vertices)
     return table[frozenset(kinds)]
 
 
@@ -200,9 +205,17 @@ def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
     """Returns a list of (phi, p_W, n_W) with n_W pointing from B into A."""
     a, b = ga.shape, gb.shape
     # Normalize the order so each handler sees a canonical (A, B).
-    if isinstance(a, sh.HalfSpace) or (
-        isinstance(a, sh.Box) and isinstance(b, (sh.Sphere, sh.Capsule))
-    ) or (isinstance(a, sh.Sphere) and isinstance(b, sh.Capsule)):
+    if (isinstance(b, sh.Mesh) and not isinstance(a, sh.Mesh)) or (
+        not isinstance(a, sh.Mesh)
+        and (
+            isinstance(a, sh.HalfSpace)
+            or (
+                isinstance(a, sh.Box)
+                and isinstance(b, (sh.Sphere, sh.Capsule))
+            )
+            or (isinstance(a, sh.Sphere) and isinstance(b, sh.Capsule))
+        )
+    ):
         # Swap so the 'larger/static' shape is B; flip resulting normals.
         out = _pair_contacts(gb, Rb, pb, ga, Ra, pa, dtype)
         return [(phi, p, -n) for phi, p, n in out]
@@ -286,6 +299,37 @@ def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
             phi, n_W = sh.halfspace_sdf_point(Rb, pb, corners[k])
             out.append((phi, corners[k], n_W))
         return out
+
+    if isinstance(a, sh.Mesh):
+        # Mesh vs SDF shape: signed distance of every sampled vertex to B,
+        # keep the K deepest (differentiable: top_k gathers).  The role of
+        # the reference's FCL mesh narrow phase for the supported shape set.
+        if isinstance(b, sh.Mesh):
+            raise NotImplementedError(
+                "mesh-mesh contact: give one side an analytic shape"
+            )
+        verts_W = (
+            jnp.asarray(a.vertices, dtype) @ Ra.T + pa
+        )  # (n, 3)
+        if isinstance(b, sh.HalfSpace):
+            phi, n_W = sh.halfspace_sdf_point(Rb, pb, verts_W)
+        elif isinstance(b, sh.Box):
+            phi, n_W = sh.box_sdf_point(Rb, pb, b.size, verts_W)
+        elif isinstance(b, sh.Sphere):
+            phi, n_W = sh.sphere_sdf_point(Rb, pb, b.radius, verts_W)
+        elif isinstance(b, sh.Capsule):
+            phi, n_W = sh.capsule_sdf_point(
+                Rb, pb, b.radius, b.length, verts_W
+            )
+        else:
+            raise NotImplementedError(
+                f"no mesh contact vs {type(b).__name__}"
+            )
+        if n_W.ndim == 1:  # constant-normal shapes (halfspace)
+            n_W = jnp.broadcast_to(n_W, verts_W.shape)
+        K = min(8, a.num_vertices)
+        neg_phi, idx = jax.lax.top_k(-phi, K)
+        return [(-neg_phi[k], verts_W[idx[k]], n_W[idx[k]]) for k in range(K)]
 
     raise NotImplementedError(
         f"no contact handler for {type(a).__name__}-{type(b).__name__}"
