@@ -436,3 +436,88 @@ class TestImplicitPd:
         # Equilibrium with tau = 1: sin(q) = 1/(m g l) ~ 0.204 -> q ~ 0.205.
         assert float(xs[-1, 0]) < 0.3, "servo exceeded its effort limit"
         assert bool(jnp.all(jnp.isfinite(xs)))
+
+
+class TestPgs:
+    """PGS baseline matches SAP on contact-only problems (the
+    pgs_solver.h cross-check role)."""
+
+    def _sphere_data(self, vx=0.3):
+        """ONE contact (falling, sliding sphere on the ground): the LCP
+        solution is unique, so PGS and SAP must agree to O(R)."""
+        import numpy as np
+
+        from drake_tpu.geometry import shapes as sh
+        from drake_tpu.geometry.scene import CollisionGeometry, CollisionScene
+        from drake_tpu.multibody.model import ModelBuilder
+
+        b = ModelBuilder()
+        b.add_body(
+            "ball", parent=None, joint_type="floating", mass=1.0,
+            inertia_com=np.eye(3) * (0.4 * 0.1**2),
+        )
+        model, params = b.build(jnp.float64)
+        geoms = [
+            CollisionGeometry(
+                name="ball", body=0, shape=sh.Sphere(0.1),
+                friction=0.5, stiffness=1e6, dissipation=10.0,
+            ),
+            CollisionGeometry(
+                name="ground", body=-1, shape=sh.HalfSpace(),
+                friction=0.5, stiffness=1e6, dissipation=10.0,
+            ),
+        ]
+        scene = CollisionScene.build(geoms)
+        q = jnp.asarray([1, 0, 0, 0, 0.0, 0.0, 0.1 - 1e-4], jnp.float64)
+        v0 = jnp.asarray([0, 0, 0, vx, 0.0, -0.5], jnp.float64)
+        data, _ = sap.assemble(
+            model, params, scene, q, v0, jnp.zeros(6, jnp.float64), 0.01
+        )
+        return data
+
+    def test_matches_sap_unique_solution(self):
+        """Single contact -> unique solution: PGS == SAP up to the O(R_n
+        gamma_n) compliance difference (PGS enforces vc_n = vhat_n
+        EXACTLY; SAP's near-rigid regularization leaves ~ R_n gamma_n)."""
+        from drake_tpu.contact.pgs import solve_pgs
+
+        data = self._sphere_data()
+        sol_sap = sap.solve_sap(data, data.v_star)
+        Rn_gn = float(data.R[0, 2] * sol_sap.gamma[0, 2])
+        for method in ("jacobi", "gs"):
+            sol_pgs = solve_pgs(data, iterations=400, method=method)
+            np.testing.assert_allclose(
+                np.asarray(sol_pgs.v), np.asarray(sol_sap.v),
+                atol=2 * Rn_gn + 5e-3, err_msg=method,
+            )
+            # Tangential impulses agree tightly (Rt << Rn).
+            np.testing.assert_allclose(
+                np.asarray(sol_pgs.gamma[:, :2]),
+                np.asarray(sol_sap.gamma[:, :2]),
+                atol=5e-4, err_msg=method,
+            )
+            # Exact complementarity: the ball separates at vhat_n.
+            vc_n = float((data.J[0] @ sol_pgs.v)[2])
+            np.testing.assert_allclose(
+                vc_n, float(data.vhat[0, 2]), atol=1e-9
+            )
+
+    def test_sliding_friction_cone_binds(self):
+        """Fast slide: the tangential impulse sits exactly on the Coulomb
+        disk (|gamma_t| = mu gamma_n)."""
+        from drake_tpu.contact.pgs import solve_pgs
+
+        data = self._sphere_data(vx=3.0)
+        sol = solve_pgs(data, iterations=800, method="gs")
+        gt = np.asarray(sol.gamma[0, :2])
+        gn = float(sol.gamma[0, 2])
+        np.testing.assert_allclose(np.linalg.norm(gt), 0.5 * gn, rtol=1e-6)
+
+    def test_converges_fast_single_contact(self):
+        from drake_tpu.contact.pgs import solve_pgs
+
+        data = self._sphere_data()
+        r = float(
+            solve_pgs(data, iterations=20, method="gs").momentum_residual
+        )
+        assert r < 1e-10
