@@ -254,3 +254,68 @@ class TestWebsocketServer:
             assert b"handle_command_bytearray" in data
         finally:
             m.close()
+
+
+class TestVisualizationWiring:
+    """AddDefaultVisualization role (viz/visualization.py)."""
+
+    def _world(self):
+        import jax.numpy as jnp
+
+        from drake_tpu.geometry.scene import CollisionGeometry
+        from drake_tpu.multibody.model import ModelBuilder
+
+        b = ModelBuilder()
+        b.add_body(
+            "arm", parent=None, joint_type="revolute", mass=1.0,
+            com=(0, 0, -0.5), inertia_com=np.eye(3) * 0.05, axis=(0, 1, 0),
+        )
+        model, params = b.build(jnp.float64)
+        geoms = [
+            CollisionGeometry(
+                name="rod", body=0, shape=geom.Capsule(0.03, 1.0),
+            ),
+            CollisionGeometry(name="floor", body=-1, shape=geom.HalfSpace()),
+        ]
+        return model, params, geoms
+
+    def test_scene_publish_and_state(self):
+        import jax.numpy as jnp
+
+        from drake_tpu.viz.visualization import (
+            add_scene_visualization,
+            publish_state,
+        )
+
+        model, params, geoms = self._world()
+        m = Meshcat()
+        add_scene_visualization(m, geoms)
+        paths = [mp.unpackb(b)["path"] for b in m._packed_state()]
+        assert any("body0/rod" in p for p in paths)
+        assert any("floor" in p for p in paths)
+        publish_state(m, model, params, jnp.asarray([0.5]), geoms)
+        tf = [
+            mp.unpackb(b)
+            for b in m._packed_state()
+            if mp.unpackb(b)["type"] == "set_transform"
+        ]
+        assert any(t["path"].endswith("body0") for t in tf)
+
+    def test_record_rollout_animation(self):
+        import jax.numpy as jnp
+
+        from drake_tpu.viz.visualization import record_rollout
+
+        model, params, geoms = self._world()
+        m = Meshcat()
+        qs = np.linspace(0, np.pi / 2, 50)[:, None]
+        anim = record_rollout(m, model, params, qs, geoms, time_step=0.01)
+        d = mp.unpackb(m._animation)
+        (track,) = [
+            t for t in d["animations"] if t["path"].endswith("body0")
+        ]
+        names = {t["name"] for t in track["clip"]["tracks"]}
+        assert names == {".position", ".quaternion"}
+        html = m.static_html()
+        assert "set_animation" in str(mp.unpackb(m._animation)["type"])
+        assert len(html) > 1000
