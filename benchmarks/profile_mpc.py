@@ -32,6 +32,7 @@ parser.add_argument(
     "--first-iters", type=int, default=0,
     help="heavier FIRST solve (real-time-iteration schedule); 0 = off",
 )
+parser.add_argument("--plan-ls", type=int, default=12)
 parser.add_argument(
     "--plan-unroll", type=int, default=0,
     help="use a fixed-N-iteration scan SAP for the iLQR-internal dynamics "
@@ -121,7 +122,8 @@ def _run_mpc_only(
 
     if args.plan_unroll:
         sp_plan = sap.SapParameters(
-            unroll_iterations=args.plan_unroll, line_search_points=12
+            unroll_iterations=args.plan_unroll,
+            line_search_points=args.plan_ls,
         )
         dsys_plan = cplant.make_discrete_system(
             model, params, scene, h, sap_params=sp_plan
