@@ -450,6 +450,11 @@ def assemble(
         J_eq = jnp.stack(eq_rows)
         phi_eq = jnp.stack(eq_phis)
         w_eq = jnp.einsum("lv,vw,lw->l", J_eq, jnp.linalg.inv(A), J_eq)
+        # Degenerate rows (e.g. the out-of-plane axis of a planar loop
+        # closure) have w = 0, which would make R = 0 and poison the solve
+        # with 0/0 — floor w at a small fraction of the largest row scale.
+        w_floor = 1e-8 * jnp.max(w_eq) + 1e-14
+        w_eq = jnp.maximum(w_eq, w_floor)
         R_eq = sap_params.beta**2 / (4.0 * jnp.pi**2) * w_eq
         vhat_eq = -phi_eq / h
     else:
