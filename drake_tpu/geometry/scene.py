@@ -49,6 +49,16 @@ class CollisionGeometry:
     # geometry/proximity_properties.h stiffness/dissipation/friction).
     stiffness: float = 1e6
     dissipation: float = 0.1  # SAP relaxation time tau_d [s]
+    # Hydroelastic contact (the reference's compliant-surface pipeline,
+    # query_object.h:385 ComputeContactSurfaces): when set, supported pairs
+    # generate a QUADRATURE PATCH of weighted contact points over the
+    # contact cap instead of a single point — the TPU-static replacement
+    # for marching contact-surface meshes.  The value is the hydroelastic
+    # modulus E (Pa); per-point stiffness = E * A_i / R (pressure p = E
+    # phi-hat integrated over the sample's area).  Patch extents give
+    # rolling resistance and torsional friction that point contact cannot.
+    hydroelastic_modulus: Optional[float] = None
+    hydro_rings: int = 1  # quadrature rings (points = 1 + 6 + 12 + ...)
     friction: float = 1.0
 
 
@@ -147,13 +157,20 @@ class CollisionScene:
             Rb, pb = geom_pose(gb)
             contacts = _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype)
             k, d, mu = _combine_materials(ga, gb)
-            for phi, p_W, n_W in contacts:
+            hp = _hydro_pair(ga, gb)
+            if hp is not None:
+                # Compliant-vs-rigid: per-point stiffness is the modulus
+                # scaled by the quadrature k_scale = A_i / R.
+                k = hp[0].hydroelastic_modulus
+            for entry in contacts:
+                phi, p_W, n_W = entry[:3]
+                k_scale = entry[3] if len(entry) == 4 else 1.0
                 phis.append(phi)
                 pws.append(p_W)
                 nws.append(n_W)
                 body_a.append(ga.body)
                 body_b.append(gb.body)
-                ks.append(k)
+                ks.append(k * k_scale)
                 ds.append(d)
                 mus.append(mu)
 
@@ -198,12 +215,88 @@ def _contacts_per_pair(ga: CollisionGeometry, gb: CollisionGeometry) -> int:
         # Mesh vs SDF shape: top-K deepest sampled vertices.
         mesh = a if isinstance(a, sh.Mesh) else b
         return min(8, mesh.num_vertices)
+    if _hydro_pair(ga, gb) is not None:
+        g_soft, _ = _hydro_pair(ga, gb)
+        r = g_soft.hydro_rings
+        return 1 + 3 * r * (r + 1)  # 1 + 6 + 12 + ... hex rings
     return table[frozenset(kinds)]
 
 
-def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
-    """Returns a list of (phi, p_W, n_W) with n_W pointing from B into A."""
+def _hydro_pair(ga, gb):
+    """(compliant_sphere_geom, halfspace_geom) if this pair renders a
+    hydroelastic patch, else None."""
     a, b = ga.shape, gb.shape
+    if (
+        ga.hydroelastic_modulus is not None
+        and isinstance(a, sh.Sphere)
+        and isinstance(b, sh.HalfSpace)
+    ):
+        return ga, gb
+    if (
+        gb.hydroelastic_modulus is not None
+        and isinstance(b, sh.Sphere)
+        and isinstance(a, sh.HalfSpace)
+    ):
+        return gb, ga
+    return None
+
+
+def _hydro_sphere_halfspace(g_soft, c, Rh, ph, dtype):
+    """Quadrature patch over the sphere's contact cap: list of
+    (phi, p_W, n_W, k_scale) with k_scale = A_i / R so that per-point
+    stiffness E * k_scale integrates the hydroelastic pressure p = E
+    (depth/R) over the cap (reference geometry/proximity hydroelastic
+    field semantics, quadrature instead of marching meshes)."""
+    import math
+
+    r = g_soft.shape.radius
+    rings = g_soft.hydro_rings
+    n = Rh[:, 2]
+    # Tangent frame of the halfspace.
+    t1 = Rh[:, 0]
+    t2 = Rh[:, 1]
+    alpha_max = math.pi / 4  # static cap half-angle (covers d <= 0.3 R)
+    denom = rings + 0.5
+    out = []
+    edges = [alpha_max * (j + 0.5) / denom for j in range(rings + 1)]
+    # Center cell.
+    A0 = 2 * math.pi * r * r * (1 - math.cos(edges[0]))
+    x0 = c - r * n
+    phi0, _ = sh.halfspace_sdf_point(Rh, ph, x0)
+    out.append((phi0, x0, n, A0 / r))
+    for j in range(1, rings + 1):
+        alpha = alpha_max * j / denom
+        band = 2 * math.pi * r * r * (
+            math.cos(edges[j - 1]) - math.cos(edges[j])
+        )
+        npts = 6 * j
+        for m in range(npts):
+            beta = 2 * math.pi * m / npts
+            d = (
+                -n * math.cos(alpha)
+                + (t1 * math.cos(beta) + t2 * math.sin(beta))
+                * math.sin(alpha)
+            )
+            x = c + r * d
+            phi, _ = sh.halfspace_sdf_point(Rh, ph, x)
+            out.append((phi, x, n, band / npts / r))
+    return out
+
+
+def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
+    """Returns a list of (phi, p_W, n_W[, k_scale]) with n_W pointing from
+    B into A; optional k_scale multiplies the pair's combined stiffness."""
+    a, b = ga.shape, gb.shape
+
+    hp = _hydro_pair(ga, gb)
+    if hp is not None:
+        g_soft, g_half = hp
+        if g_soft is ga:
+            out = _hydro_sphere_halfspace(g_soft, pa, Rb, pb, dtype)
+        else:
+            out = _hydro_sphere_halfspace(g_soft, pb, Ra, pa, dtype)
+            out = [(phi, p, -n, w) for (phi, p, n, w) in out]
+        return out
     # Normalize the order so each handler sees a canonical (A, B).
     if (isinstance(b, sh.Mesh) and not isinstance(a, sh.Mesh)) or (
         not isinstance(a, sh.Mesh)
