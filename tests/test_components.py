@@ -238,3 +238,67 @@ class TestDiagram:
         rs = jnp.zeros((2000, 1))
         xs, _ = simulator.simulate(closed, None, x0, rs, 1e-3)
         assert abs(float(xs[-1, 0])) < 1e-3  # stabilized to r=0
+
+
+class TestStochasticSchema:
+    """common/schema/stochastic.h role (io/schema.py)."""
+
+    def test_sample_and_yaml_roundtrip(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from drake_tpu.io import schema
+
+        g = schema.Gaussian(mean_value=[1.0, 2.0], stddev=0.5)
+        u = schema.Uniform(min_value=0.0, max_value=2.0)
+        d = schema.UniformDiscrete(values=(0.1, 0.2, 0.3))
+        for dist in (g, u, d):
+            back = schema.from_yaml_value(schema.to_yaml_value(dist))
+            assert type(back) is type(dist)
+        assert isinstance(schema.from_yaml_value(3.5), schema.Deterministic)
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 2000)
+        samples = jax.vmap(u.sample)(ks)
+        assert 0.9 < float(samples.mean()) < 1.1
+        assert float(samples.min()) >= 0.0 and float(samples.max()) <= 2.0
+        gs = jax.vmap(g.sample)(ks)
+        np.testing.assert_allclose(
+            np.asarray(gs.mean(axis=0)), [1.0, 2.0], atol=0.05
+        )
+
+    def test_sample_tree(self):
+        import jax
+
+        from drake_tpu.io import schema
+
+        cfg = {
+            "mass": schema.Gaussian(mean_value=1.0, stddev=0.1),
+            "name": "robot",
+            "mu": schema.Uniform(min_value=0.2, max_value=0.8),
+        }
+        out = schema.sample_tree(cfg, jax.random.PRNGKey(1))
+        assert out["name"] == "robot"
+        assert 0.2 <= float(out["mu"]) <= 0.8
+        out2 = schema.sample_tree(cfg, jax.random.PRNGKey(2))
+        assert float(out2["mass"]) != float(out["mass"])
+
+
+class TestProfiling:
+    def test_time_fn_and_staged(self):
+        import jax
+        import jax.numpy as jnp
+
+        from drake_tpu.analysis.profiling import Staged, time_fn
+
+        f = jax.jit(lambda x: jnp.sin(x) @ jnp.cos(x))
+        t = time_fn(f, jnp.ones((64, 64)))
+        assert t["compile_s"] > 0 and t["run_s"] > 0
+        assert t["compile_s"] >= t["run_s"] * 0.5
+        st = Staged()
+        with st.stage("a"):
+            sum(range(1000))
+        with st.stage("b"):
+            sum(range(100))
+        rep = st.report()
+        assert "a" in rep and "TOTAL" in rep
