@@ -521,3 +521,78 @@ class TestPgs:
             solve_pgs(data, iterations=20, method="gs").momentum_residual
         )
         assert r < 1e-10
+
+
+class TestTamsi:
+    """TAMSI baseline (tamsi_solver.h role): matches SAP at physics level
+    on unique-solution problems; Stribeck stiction below v_s."""
+
+    def _sphere(self, vx=0.3):
+        import numpy as np
+
+        from drake_tpu.geometry import shapes as sh
+        from drake_tpu.geometry.scene import CollisionGeometry, CollisionScene
+        from drake_tpu.multibody.model import ModelBuilder
+
+        b = ModelBuilder()
+        b.add_body(
+            "ball", parent=None, joint_type="floating", mass=1.0,
+            inertia_com=np.eye(3) * (0.4 * 0.1**2),
+        )
+        model, params = b.build(jnp.float64)
+        geoms = [
+            CollisionGeometry(
+                name="ball", body=0, shape=sh.Sphere(0.1),
+                friction=0.5, stiffness=1e5, dissipation=0.1,
+            ),
+            CollisionGeometry(
+                name="ground", body=-1, shape=sh.HalfSpace(),
+                friction=0.5, stiffness=1e10, dissipation=0.1,
+            ),
+        ]
+        scene = CollisionScene.build(geoms)
+        q = jnp.asarray([1, 0, 0, 0, 0.0, 0.0, 0.1 - 2e-4], jnp.float64)
+        v0 = jnp.asarray([0, 0, 0, vx, 0.0, -0.2], jnp.float64)
+        data, contact = sap.assemble(
+            model, params, scene, q, v0, jnp.zeros(6, jnp.float64), 0.01
+        )
+        return data, contact
+
+    def test_matches_sap_velocities(self):
+        from drake_tpu.contact.tamsi import solve_tamsi
+
+        data, contact = self._sphere()
+        sol_sap = sap.solve_sap(data, data.v_star)
+        sol_t = solve_tamsi(data, contact, 0.01)
+        # Different regularizations (SAP R vs TAMSI compliance-in-residual):
+        # velocities agree to the regularization scale.
+        np.testing.assert_allclose(
+            np.asarray(sol_t.v), np.asarray(sol_sap.v), atol=2e-2
+        )
+        assert float(sol_t.momentum_residual) < 1e-7
+
+    def test_stiction_below_tolerance(self):
+        """Slip far below v_stiction: the regularized friction holds the
+        tangential velocity near zero (no drift blow-up)."""
+        from drake_tpu.contact.tamsi import solve_tamsi
+
+        data, contact = self._sphere(vx=1e-6)
+        sol = solve_tamsi(data, contact, 0.01, v_stiction=1e-4)
+        # Tangential CONTACT velocity stays within the stiction tolerance.
+        vc = jnp.einsum("cij,j->ci", data.J, sol.v)
+        assert float(jnp.abs(vc[0, :2]).max()) < 2e-4
+
+    def test_normal_force_compliant_law(self):
+        """At rest the normal force balances: fn = k x (1 - d vn) with
+        vn ~ 0 -> settled penetration x = mg/k."""
+        from drake_tpu.contact.tamsi import solve_tamsi
+
+        data, contact = self._sphere(vx=0.0)
+        sol = solve_tamsi(data, contact, 0.01)
+        fn = float(sol.gamma[0, 2]) / 0.01
+        # The ball is falling at 0.2 m/s: the solve absorbs the momentum;
+        # fn h ~= m (dv + g h).
+        dv = 0.2 + float(sol.v[5])
+        np.testing.assert_allclose(
+            fn * 0.01, 1.0 * (dv + 9.81 * 0.01), rtol=1e-6
+        )
