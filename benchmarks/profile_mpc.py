@@ -33,6 +33,7 @@ parser.add_argument(
     help="heavier FIRST solve (real-time-iteration schedule); 0 = off",
 )
 parser.add_argument("--plan-ls", type=int, default=12)
+parser.add_argument("--horizon", type=int, default=12)
 parser.add_argument(
     "--plan-unroll", type=int, default=0,
     help="use a fixed-N-iteration scan SAP for the iLQR-internal dynamics "
@@ -103,7 +104,7 @@ def _run_mpc_only(
     def final_cost(p, x):
         return 400.0 * jnp.sum((x[nq - 3 : nq - 1] - box_goal) ** 2)
 
-    horizon = 12
+    horizon = args.horizon
     mpc_steps = args.mpc_steps
     us0 = jnp.tile(tau_g[None], (horizon, 1))
     lim = jnp.asarray(iiwa.EFFORT_LIMITS, dtype)

@@ -133,3 +133,47 @@ def random_source(key, shape, distribution: str = "gaussian"):
     if distribution == "uniform":
         return jax.random.uniform(key, shape)
     raise ValueError(distribution)
+
+
+def symbolic_vector_system(
+    state: Sequence,  # symbolic Variables for x
+    dynamics: Sequence,  # Expressions: xdot (or x_next if time_period>0)
+    inputs: Sequence = (),  # symbolic Variables for u
+    output: Optional[Sequence] = None,  # Expressions; default: full state
+    time: Optional[object] = None,  # symbolic Variable for t, if used
+    time_period: float = 0.0,
+):
+    """SymbolicVectorSystem (systems/primitives/symbolic_vector_system.h):
+    build a ContinuousSystem/DiscreteSystem from symbolic dynamics.
+
+    The expressions are compiled once via symbolic.to_jax (the codegen.h
+    role — XLA is the code generator), so the resulting system jits, vmaps,
+    and differentiates like any hand-written one.
+    """
+    from drake_tpu.math import symbolic as sym
+
+    state = list(state)
+    inputs = list(inputs)
+    allvars = state + inputs + ([time] if time is not None else [])
+    f_dyn = sym.to_jax(list(dynamics), allvars)
+    f_out = sym.to_jax(list(output), allvars) if output is not None else None
+
+    def pack(x, u, t):
+        parts = [jnp.atleast_1d(x), jnp.atleast_1d(jnp.asarray(u, x.dtype))]
+        if time is not None:
+            parts.append(jnp.asarray(t, x.dtype)[None])
+        return jnp.concatenate(parts)
+
+    def f(params, x, u, t=0.0):
+        return f_dyn(pack(x, u, t))
+
+    out_fn = (lambda params, x, u, t=0.0: f_out(pack(x, u, t))) if f_out else None
+
+    if time_period > 0.0:
+        return DiscreteSystem(
+            g=f, num_states=len(state), num_inputs=len(inputs),
+            time_step=time_period, output=out_fn,
+        )
+    return ContinuousSystem(
+        f=f, num_states=len(state), num_inputs=len(inputs), output=out_fn
+    )
