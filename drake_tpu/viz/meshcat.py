@@ -37,7 +37,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from drake_tpu.geometry import shapes as geom
-from drake_tpu.viz.msgpack import TypedArray, packb
+from drake_tpu.viz.msgpack import TypedArray, packb, unpackb
 
 _WS_MAGIC = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
@@ -170,6 +170,9 @@ class Meshcat:
         self._transforms: Dict[str, bytes] = {}
         self._properties: Dict[Tuple[str, str], bytes] = {}
         self._animation: Optional[bytes] = None
+        # name -> control state (sliders/buttons; meshcat.h AddSlider role)
+        self._controls: Dict[str, dict] = {}
+        self._control_msgs: Dict[str, bytes] = {}
         self._lock = threading.Lock()
         self._clients: List[socket.socket] = []
         self._server: Optional[socket.socket] = None
@@ -235,6 +238,43 @@ class Meshcat:
             "object": {
                 "uuid": _uuid(),
                 "type": "Points",
+                "geometry": geometry["uuid"],
+                "material": material["uuid"],
+                "matrix": _pose_matrix(),
+            },
+        }
+        self._send_set_object(path, obj)
+
+    def set_line_segments(self, path: str, starts: np.ndarray,
+                          ends: np.ndarray, color: int = 0xFF8800,
+                          line_width: float = 1.0):
+        """Line segments: starts/ends (3, n) — reference meshcat.h
+        SetLineSegments (used by the contact-force visualizer)."""
+        starts = np.asarray(starts, np.float32)
+        ends = np.asarray(ends, np.float32)
+        # Interleave start/end columns: (3, 2n).
+        pos = np.empty((3, 2 * starts.shape[1]), np.float32)
+        pos[:, 0::2] = starts
+        pos[:, 1::2] = ends
+        geometry = {
+            "type": "BufferGeometry",
+            "uuid": _uuid(),
+            "data": {"attributes": {"position": TypedArray(pos)}},
+        }
+        material = {
+            "uuid": _uuid(),
+            "type": "LineBasicMaterial",
+            "color": int(color),
+            "linewidth": float(line_width),
+            "vertexColors": False,
+        }
+        obj = {
+            "metadata": {"type": "Object", "version": 4.5},
+            "geometries": [geometry],
+            "materials": [material],
+            "object": {
+                "uuid": _uuid(),
+                "type": "LineSegments",
                 "geometry": geometry["uuid"],
                 "material": material["uuid"],
                 "matrix": _pose_matrix(),
@@ -327,6 +367,84 @@ class Meshcat:
             self._objects[self.full_path(path)] = msg
         self._broadcast(msg)
 
+    # ------------------------------ controls -------------------------------
+    # GUI widgets (reference meshcat.h AddSlider :436, AddButton :409,
+    # GetSliderValue, GetButtonClicks, DeleteAddedControls).  Outgoing
+    # protocol: msgpack {type: "set_control", name, control, min, max, step,
+    # value}; incoming user interactions arrive on the websocket as
+    # {type: "set_control_value", name, value} (sliders) or
+    # {type: "button", name} (buttons).
+
+    def add_slider(self, name: str, min_value: float = 0.0,
+                   max_value: float = 1.0, step: float = 0.01,
+                   value: Optional[float] = None) -> float:
+        value = min_value if value is None else min(max(value, min_value),
+                                                    max_value)
+        msg = packb({
+            "type": "set_control", "name": name, "control": "slider",
+            "min": float(min_value), "max": float(max_value),
+            "step": float(step), "value": float(value),
+        })
+        with self._lock:
+            self._controls[name] = {
+                "control": "slider", "min": float(min_value),
+                "max": float(max_value), "step": float(step),
+                "value": float(value),
+            }
+            self._control_msgs[name] = msg
+        self._broadcast(msg)
+        return value
+
+    def add_button(self, name: str):
+        msg = packb({"type": "set_control", "name": name,
+                     "control": "button"})
+        with self._lock:
+            self._controls[name] = {"control": "button", "clicks": 0}
+            self._control_msgs[name] = msg
+        self._broadcast(msg)
+
+    def get_slider_value(self, name: str) -> float:
+        with self._lock:
+            return float(self._controls[name]["value"])
+
+    def set_slider_value(self, name: str, value: float) -> float:
+        with self._lock:
+            c = self._controls[name]
+            value = min(max(float(value), c["min"]), c["max"])
+            c["value"] = value
+        self._broadcast(packb({
+            "type": "set_control_value", "name": name, "value": value}))
+        return value
+
+    def get_button_clicks(self, name: str) -> int:
+        with self._lock:
+            return int(self._controls[name]["clicks"])
+
+    def delete_added_controls(self):
+        with self._lock:
+            names = list(self._controls)
+            self._controls.clear()
+            self._control_msgs.clear()
+        for name in names:
+            self._broadcast(packb({"type": "delete_control", "name": name}))
+
+    def _handle_client_message(self, payload: bytes):
+        try:
+            msg = unpackb(payload)
+        except Exception:
+            return
+        if not isinstance(msg, dict):
+            return
+        name = msg.get("name")
+        with self._lock:
+            c = self._controls.get(name)
+            if c is None:
+                return
+            if msg.get("type") == "set_control_value" and "value" in msg:
+                c["value"] = min(max(float(msg["value"]), c["min"]), c["max"])
+            elif msg.get("type") == "button":
+                c["clicks"] = c.get("clicks", 0) + 1
+
     # -------------------------- static HTML --------------------------------
 
     def _packed_state(self) -> List[bytes]:
@@ -335,6 +453,7 @@ class Meshcat:
                 list(self._objects.values())
                 + list(self._transforms.values())
                 + list(self._properties.values())
+                + list(self._control_msgs.values())
                 + ([self._animation] if self._animation else [])
             )
 
@@ -440,11 +559,29 @@ const viewer = new Viewer(document.getElementById("viewer"));
                 conn.sendall(_ws_frame(msg))
             with self._lock:
                 self._clients.append(conn)
+            threading.Thread(
+                target=self._client_reader, args=(conn,), daemon=True
+            ).start()
         except OSError:
             try:
                 conn.close()
             except OSError:
                 pass
+
+    def _client_reader(self, conn: socket.socket):
+        """Read control interactions from one client (masked frames)."""
+        buf = b""
+        while True:
+            try:
+                chunk = conn.recv(4096)
+            except OSError:
+                return
+            if not chunk:
+                return
+            buf += chunk
+            payloads, buf = _parse_masked_frames(buf)
+            for p in payloads:
+                self._handle_client_message(p)
 
     def _broadcast(self, msg: bytes):
         with self._lock:
@@ -473,6 +610,56 @@ def _ws_frame(payload: bytes) -> bytes:
     else:
         header = struct.pack("!BBQ", 0x82, 127, n)
     return header + payload
+
+
+def _parse_masked_frames(buf: bytes) -> Tuple[List[bytes], bytes]:
+    """Parse client->server frames (masked per RFC 6455); returns
+    (payloads, remaining_buffer)."""
+    out: List[bytes] = []
+    i = 0
+    while i + 2 <= len(buf):
+        b1 = buf[i + 1]
+        masked = bool(b1 & 0x80)
+        n = b1 & 0x7F
+        j = i + 2
+        if n == 126:
+            if j + 2 > len(buf):
+                break
+            n = int.from_bytes(buf[j : j + 2], "big")
+            j += 2
+        elif n == 127:
+            if j + 8 > len(buf):
+                break
+            n = int.from_bytes(buf[j : j + 8], "big")
+            j += 8
+        mask = b"\x00" * 4
+        if masked:
+            if j + 4 > len(buf):
+                break
+            mask = buf[j : j + 4]
+            j += 4
+        if j + n > len(buf):
+            break
+        payload = bytes(
+            c ^ mask[k % 4] for k, c in enumerate(buf[j : j + n]))
+        opcode = buf[i] & 0x0F
+        if opcode in (0x01, 0x02):  # text/binary
+            out.append(payload)
+        i = j + n
+    return out, buf[i:]
+
+
+def mask_client_frame(payload: bytes, mask: bytes = b"\x12\x34\x56\x78") -> bytes:
+    """Build a masked client->server binary frame (for tests/clients)."""
+    n = len(payload)
+    if n <= 125:
+        header = struct.pack("!BB", 0x82, 0x80 | n)
+    elif n <= 0xFFFF:
+        header = struct.pack("!BBH", 0x82, 0x80 | 126, n)
+    else:
+        header = struct.pack("!BBQ", 0x82, 0x80 | 127, n)
+    body = bytes(c ^ mask[k % 4] for k, c in enumerate(payload))
+    return header + mask + body
 
 
 def ws_parse_frames(buf: bytes) -> List[bytes]:
