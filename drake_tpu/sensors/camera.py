@@ -52,6 +52,22 @@ class RenderResult(NamedTuple):
     rgb: jnp.ndarray  # (H, W) Lambert shade in [0, 1]
 
 
+def color_image(result: RenderResult, colors, background=(0.0, 0.0, 0.0)):
+    """(H, W, 3) color image — the RgbdSensor color port
+    (systems/sensors/rgbd_sensor.h): per-geometry albedo ``colors``
+    ((n_geoms, 3) in [0,1]) modulated by the Lambert shade, background
+    where no geometry was hit."""
+    colors = jnp.asarray(colors)
+    bg = jnp.asarray(background, colors.dtype)
+    albedo = jnp.where(
+        (result.label >= 0)[..., None],
+        colors[jnp.clip(result.label, 0, colors.shape[0] - 1)],
+        bg,
+    )
+    return albedo * jnp.where(
+        result.label >= 0, result.rgb, 1.0)[..., None]
+
+
 def _geom_sdf(geom, R_WG, p_WG, p):
     s = geom.shape
     if isinstance(s, sh.Sphere):

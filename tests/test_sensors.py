@@ -159,3 +159,28 @@ class TestPointCloudOps:
         down = pc.voxel_downsample(cloud, voxel_size=0.05, max_points=64)
         n = int(down.valid.sum())
         assert 1 <= n <= 8  # 2x2x2 voxel grid over [0, 0.1)^3
+
+
+class TestColorImage:
+    def test_color_image_uses_labels_and_shade(self):
+        from drake_tpu.sensors.camera import color_image
+
+        geoms = [
+            CollisionGeometry(
+                name="ball", body=-1, shape=sh.Sphere(0.2),
+                p_BG=np.array([0.0, 0.0, 0.5]),
+            ),
+            CollisionGeometry(name="floor", body=-1, shape=sh.HalfSpace()),
+        ]
+        cam = CameraInfo(width=32, height=24)
+        X_WC = look_at(eye=(2.0, 0.0, 0.5), target=(0.0, 0.0, 0.5))
+        out = render(geoms, cam, X_WC, num_steps=80)
+        colors = np.array([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])  # red, blue
+        img = np.asarray(color_image(out, colors))
+        assert img.shape == (24, 32, 3)
+        c = img[12, 16]  # sphere center: red channel only, shaded
+        assert c[0] > 0.1 and c[1] == 0.0 and c[2] == 0.0
+        f = img[23, 16]  # floor: blue only
+        assert f[2] > 0.1 and f[0] == 0.0
+        b = img[0, 16]  # background: black
+        np.testing.assert_allclose(b, 0.0)
