@@ -35,6 +35,9 @@ parser.add_argument(
 parser.add_argument("--plan-ls", type=int, default=12)
 parser.add_argument("--horizon", type=int, default=12)
 parser.add_argument(
+    "--refresh-every", type=int, default=0,
+    help="repeat the heavy first-iters solve every k-th MPC step")
+parser.add_argument(
     "--plan-unroll", type=int, default=0,
     help="use a fixed-N-iteration scan SAP for the iLQR-internal dynamics "
     "(derivatives + line search) while the state advance keeps the full "
@@ -142,6 +145,7 @@ def _run_mpc_only(
             ),
             sim_dynamics=sim_g,
             first_options=first_options,
+            refresh_every=args.refresh_every,
         )
 
     rollout = jax.jit(jax.vmap(scenario))

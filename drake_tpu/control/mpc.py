@@ -136,6 +136,7 @@ def ilqr_mpc_rollout(
     options: ilqr.IlqrOptions = ilqr.IlqrOptions(max_iters=5),
     sim_dynamics: Optional[Callable] = None,
     first_options: Optional[ilqr.IlqrOptions] = None,
+    refresh_every: int = 0,
 ) -> MpcRolloutResult:
     """Closed-loop MPC: at every sim step re-solve the horizon (warm-started
     by shifting the previous plan) and apply the first input.
@@ -148,6 +149,11 @@ def ilqr_mpc_rollout(
     only (the real-time-iteration pattern: the cold-start solve does the
     planning work, the warm-started re-solves each period only track it —
     far cheaper than giving every solve the cold-start budget).
+
+    ``refresh_every``: with first_options set, repeat the heavy solve every
+    k-th step (periodic re-planning).  Pure 1-iter tracking goes stale after
+    ~10 steps on contact tasks; a periodic refresh restores plan quality at
+    a fraction of the every-step cost.  0 = heavy solve only at step 0.
     """
     if sim_dynamics is None:
         sim_dynamics = dynamics
@@ -175,6 +181,50 @@ def ilqr_mpc_rollout(
         x, us_warm = carry
         x_next, us_next, u_apply, res = solve_step(x, us_warm, k * dt, options)
         return (x_next, us_next), (x_next, u_apply, res.cost, res.iterations)
+
+    if first_options is not None and refresh_every > 0 and num_steps > 0:
+        # Clamp so at least one full block (and hence the heavy step-0
+        # solve) always runs.
+        refresh_every = min(refresh_every, num_steps)
+        n_blocks = num_steps // refresh_every
+        rem = num_steps - n_blocks * refresh_every
+        n_light = refresh_every - 1
+
+        def light(carry, t):
+            x, us_warm = carry
+            x_next, us_next, u_apply, res = solve_step(x, us_warm, t, options)
+            return (x_next, us_next), (
+                x_next, u_apply, res.cost, res.iterations)
+
+        def block(carry, b):
+            x, us_warm = carry
+            t0b = b * (refresh_every * dt)
+            xh, ush, uh, resh = solve_step(x, us_warm, t0b, first_options)
+            ts = t0b + dt * (1.0 + jnp.arange(n_light, dtype=x0.dtype))
+            (xf, usf), (xs_l, us_l, c_l, i_l) = jax.lax.scan(
+                light, (xh, ush), ts)
+            xs_b = jnp.concatenate([xh[None], xs_l], axis=0)
+            us_b = jnp.concatenate([uh[None], us_l], axis=0)
+            c_b = jnp.concatenate([resh.cost[None], c_l], axis=0)
+            i_b = jnp.concatenate([resh.iterations[None], i_l], axis=0)
+            return (xf, usf), (xs_b, us_b, c_b, i_b)
+
+        (xc, usc), (xs_blk, us_blk, c_blk, i_blk) = jax.lax.scan(
+            block, (x0, u_init), jnp.arange(n_blocks, dtype=x0.dtype))
+        xs_tail = xs_blk.reshape(-1, *xs_blk.shape[2:])
+        us = us_blk.reshape(-1, *us_blk.shape[2:])
+        costs = c_blk.reshape(-1)
+        iters = i_blk.reshape(-1)
+        if rem:
+            ts = dt * (n_blocks * refresh_every + jnp.arange(
+                rem, dtype=x0.dtype))
+            _, (xs_r, us_r, c_r, i_r) = jax.lax.scan(light, (xc, usc), ts)
+            xs_tail = jnp.concatenate([xs_tail, xs_r], axis=0)
+            us = jnp.concatenate([us, us_r], axis=0)
+            costs = jnp.concatenate([costs, c_r], axis=0)
+            iters = jnp.concatenate([iters, i_r], axis=0)
+        xs = jnp.concatenate([x0[None], xs_tail], axis=0)
+        return MpcRolloutResult(xs=xs, us=us, costs=costs, solve_iters=iters)
 
     x_start, us_start = x0, u_init
     head = None

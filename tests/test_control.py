@@ -118,3 +118,61 @@ class TestFiniteHorizonLqr:
         err_ol = float(jnp.linalg.norm(xs_ol[-1] - xs_nom[-1]))
         assert err_cl < 0.3 * err_ol
         assert err_cl < 0.02
+
+
+class TestIlqrMpcRefresh:
+    """Periodic re-planning (`refresh_every`) in ilqr_mpc_rollout."""
+
+    def _setup(self):
+        from drake_tpu.control import mpc as mpc_mod
+        from drake_tpu.trajopt import ilqr
+
+        dt = 0.1
+
+        def dyn(params, x, u, t):
+            # double integrator
+            return jnp.array([x[0] + dt * x[1], x[1] + dt * u[0]])
+
+        def run_cost(params, x, u, t):
+            return 0.1 * jnp.sum(u**2) + jnp.sum(x**2)
+
+        def fin_cost(params, x):
+            return 10.0 * jnp.sum(x**2)
+
+        x0 = jnp.array([1.0, 0.0])
+        u_init = jnp.zeros((8, 1))
+        return mpc_mod, ilqr, dyn, run_cost, fin_cost, x0, u_init, dt
+
+    def test_refresh_equals_head_path_when_one_block(self):
+        """refresh_every >= num_steps reduces to heavy-solve-at-0 + light
+        tracking, which must match the existing first_options head path."""
+        mpc_mod, ilqr, dyn, rc, fc, x0, u_init, dt = self._setup()
+        kw = dict(
+            params=None, x0=x0, u_init=u_init, num_steps=6, dt=dt,
+            options=ilqr.IlqrOptions(max_iters=1),
+            first_options=ilqr.IlqrOptions(max_iters=8),
+        )
+        a = mpc_mod.ilqr_mpc_rollout(dyn, rc, fc, **kw)
+        b = mpc_mod.ilqr_mpc_rollout(dyn, rc, fc, refresh_every=6, **kw)
+        c = mpc_mod.ilqr_mpc_rollout(dyn, rc, fc, refresh_every=99, **kw)
+        np.testing.assert_allclose(a.xs, b.xs, atol=1e-12)
+        np.testing.assert_allclose(a.us, b.us, atol=1e-12)
+        np.testing.assert_allclose(b.xs, c.xs, atol=1e-12)
+
+    def test_refresh_with_remainder_stabilizes(self):
+        """num_steps not a multiple of refresh_every: shapes are right and
+        the controller still drives the state to the origin."""
+        mpc_mod, ilqr, dyn, rc, fc, x0, u_init, dt = self._setup()
+        res = mpc_mod.ilqr_mpc_rollout(
+            dyn, rc, fc, None, x0, u_init, num_steps=11, dt=dt,
+            options=ilqr.IlqrOptions(max_iters=1),
+            first_options=ilqr.IlqrOptions(max_iters=8),
+            refresh_every=4,
+        )
+        assert res.xs.shape == (12, 2)
+        assert res.us.shape == (11, 1)
+        assert res.costs.shape == (11,)
+        # regulation toward the origin is monotone-ish and substantial
+        assert float(jnp.linalg.norm(res.xs[-1])) < 0.75
+        # heavy solves at steps 0, 4, 8 burn more iterations
+        assert float(res.solve_iters[0]) >= float(res.solve_iters[1])
