@@ -69,11 +69,17 @@ def make_system(
     model: MultibodyModel,
     params: MultibodyParams,
     actuated_joints: Optional[Sequence[str]] = None,
+    applied_forces=None,
 ) -> ContinuousSystem:
     """Build a ContinuousSystem with x = [q; v], u = actuated joint torques.
 
     ``actuated_joints``: joint names receiving direct torque input (default:
     every 1-dof joint, mirroring a fully-actuated plant).
+
+    ``applied_forces``: optional callback ``(params, q, v, t) -> tau (nv,)``
+    adding state-dependent generalized forces — the ForceElement hook
+    (reference multibody/tree/force_element.h CalcAndAddForceContribution);
+    pair with :func:`drake_tpu.multibody.force_elements.generalized_forces`.
     """
     nq = model.num_positions
     nv = model.num_velocities
@@ -94,6 +100,8 @@ def make_system(
         tau = jnp.zeros(nv, x.dtype)
         for k, vo in enumerate(act_v_offsets):
             tau = tau.at[vo].add(u[..., k])
+        if applied_forces is not None:
+            tau = tau + applied_forces(p, q, v, t)
         vdot = dyn.forward_dynamics(model, p, q, v, tau)
         qdot = qdot_from_v(model, p, q, v)
         return jnp.concatenate([qdot, vdot], axis=-1)
