@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from drake_tpu.solvers import al_newton, ipm, sqp
+from drake_tpu.solvers import al_newton, conic, ipm, sqp
 
 
 class Variables(NamedTuple):
@@ -89,6 +89,8 @@ class MathematicalProgram:
         self._costs: List[_Record] = []
         self._constraints: List[_Record] = []
         self._guess: dict = {}
+        self._sym_dims: dict = {}
+        self._binary_indices: List[int] = []
 
     # ------------------------------ variables ------------------------------
 
@@ -96,6 +98,25 @@ class MathematicalProgram:
         v = Variables(self._num_vars, int(size), name)
         self._num_vars += int(size)
         self._blocks.append(v)
+        return v
+
+    def NewSymmetricContinuousVariables(
+        self, m: int, name: str = "S"
+    ) -> Variables:
+        """An m x m symmetric matrix variable, stored as its lower triangle
+        (column-major svec, diagonal included) — the reference's
+        NewSymmetricContinuousVariables.  Pair with
+        AddPositiveSemidefiniteConstraint."""
+        v = self.NewContinuousVariables(conic.svec_size(m), name)
+        self._sym_dims[(v.start, v.size)] = m
+        return v
+
+    def NewBinaryVariables(self, size: int, name: str = "b") -> Variables:
+        """Binary {0,1} decision variables (the MIP tier).  Solve() runs
+        branch-and-bound over the convex relaxation when any exist."""
+        v = self.NewContinuousVariables(size, name)
+        self._binary_indices.extend(range(v.start, v.start + v.size))
+        self.AddBoundingBoxConstraint(0.0, 1.0, v)
         return v
 
     @property
@@ -154,6 +175,57 @@ class MathematicalProgram:
         eye = np.eye(var.size)
         self.AddLinearConstraint(eye, lb, ub, var)
 
+    def AddLorentzConeConstraint(self, A, b, var: Variables):
+        """A x + b in SOC: (Ax+b)[0] >= ||(Ax+b)[1:]|| (the reference's
+        LorentzConeConstraint)."""
+        A = np.atleast_2d(np.asarray(A, float))
+        self._constraints.append(
+            _Record("soc", var, A=A, b=np.asarray(b, float).reshape(A.shape[0]))
+        )
+
+    def AddRotatedLorentzConeConstraint(self, A, b, var: Variables):
+        """A x + b = (w0, w1, u) with w0*w1 >= ||u||^2, w0, w1 >= 0.
+
+        Mapped to the plain SOC via (w0+w1, w0-w1, 2u)."""
+        A = np.atleast_2d(np.asarray(A, float))
+        b = np.asarray(b, float).reshape(A.shape[0])
+        m = A.shape[0]
+        # (w0, w1, u) -> (w0+w1, w0-w1, 2u): w0*w1 >= ||u||^2 and w0,w1 >= 0
+        # iff w0+w1 >= ||(w0-w1, 2u)||.
+        T = np.zeros((m, m))
+        T[0, 0] = T[0, 1] = 1.0
+        T[1, 0], T[1, 1] = 1.0, -1.0
+        for i in range(2, m):
+            T[i, i] = 2.0
+        self._constraints.append(_Record("soc", var, A=T @ A, b=T @ b))
+
+    def AddPositiveSemidefiniteConstraint(self, var: Variables):
+        """The symmetric matrix stored in `var` (from
+        NewSymmetricContinuousVariables) must be PSD."""
+        key = (var.start, var.size)
+        if key not in self._sym_dims:
+            raise ValueError(
+                "AddPositiveSemidefiniteConstraint needs a block from "
+                "NewSymmetricContinuousVariables"
+            )
+        m = self._sym_dims[key]
+        self._constraints.append(
+            _Record("psd", var, A=conic.svec_to_full_matrix_rows(m),
+                    b=np.zeros(m * m), c=float(m))
+        )
+
+    def AddLinearMatrixInequalityConstraint(self, F: Sequence, var: Variables):
+        """F[0] + sum_i x_i F[i+1] >= 0 (PSD), the reference's
+        LinearMatrixInequalityConstraint."""
+        F = [np.asarray(Fi, float) for Fi in F]
+        m = F[0].shape[0]
+        if len(F) != var.size + 1:
+            raise ValueError("need one matrix per variable plus the constant")
+        A = np.stack([Fi.reshape(m * m) for Fi in F[1:]], axis=1)
+        self._constraints.append(
+            _Record("psd", var, A=A, b=F[0].reshape(m * m), c=float(m))
+        )
+
     def AddConstraint(self, fn: Callable, lb, ub, var: Variables):
         """Generic constraint lb <= fn(x_block) <= ub (jax-traceable)."""
         out_shape = jax.eval_shape(
@@ -171,11 +243,14 @@ class MathematicalProgram:
     # ------------------------------- solve ---------------------------------
 
     def program_type(self) -> str:
-        """The GetProgramType role: 'qp' | 'lp' | 'nlp'."""
+        """The GetProgramType role: 'lp' | 'qp' | 'conic' | 'nlp' (+ 'mip'
+        handled orthogonally by Solve when binary variables exist)."""
         if any(r.kind == "generic" for r in self._costs) or any(
             r.kind == "generic" for r in self._constraints
         ):
             return "nlp"
+        if any(r.kind in ("soc", "psd") for r in self._constraints):
+            return "conic"
         if any(r.kind == "quadratic" for r in self._costs):
             return "qp"
         return "lp"
@@ -193,10 +268,88 @@ class MathematicalProgram:
         return out
 
     def Solve(self, dtype=jnp.float64, options=None) -> MathematicalProgramResult:
+        if self._binary_indices:
+            from drake_tpu.solvers import branch_and_bound
+
+            return branch_and_bound.solve_mip(self, dtype=dtype, options=options)
+        return self._solve_relaxation(dtype, options)
+
+    def _solve_relaxation(self, dtype, options) -> MathematicalProgramResult:
         kind = self.program_type()
         if kind in ("lp", "qp"):
             return self._solve_qp(dtype, options)
+        if kind == "conic":
+            return self._solve_conic(dtype, options)
         return self._solve_nlp(dtype, options)
+
+    def _solve_conic(self, dtype, options):
+        """Assemble Ax + s = b over the cone product and run the ADMM conic
+        solver (the SCS/Clarabel backend role)."""
+        n = self._num_vars
+        P, q, c0 = self._assemble_quadratic()
+        zero_rows, zero_rhs = [], []
+        pos_rows, pos_rhs = [], []
+        soc_blocks = []  # (A_rows, b) per cone
+        psd_blocks = []  # (A_rows, b, m)
+        for r in self._constraints:
+            if r.kind == "linear":
+                A = self._expand(r, r.A)
+                for i in range(A.shape[0]):
+                    row, lo, hi = A[i], r.lb[i], r.ub[i]
+                    if lo == hi:
+                        zero_rows.append(row)
+                        zero_rhs.append(lo)
+                        continue
+                    if np.isfinite(hi):  # hi - a'x >= 0: s = hi - a'x
+                        pos_rows.append(row)
+                        pos_rhs.append(hi)
+                    if np.isfinite(lo):  # a'x - lo >= 0: s = -lo + a'x
+                        pos_rows.append(-row)
+                        pos_rhs.append(-lo)
+            elif r.kind == "soc":
+                # s = A_r x + b_r in SOC  ->  conic rows (-A_r, b_r).
+                soc_blocks.append((-self._expand(r, r.A), r.b))
+            elif r.kind == "psd":
+                psd_blocks.append((-self._expand(r, r.A), r.b, int(r.c)))
+        rows = []
+        rhs = []
+        for row, v in zip(zero_rows, zero_rhs):
+            rows.append(row)
+            rhs.append(v)
+        for row, v in zip(pos_rows, pos_rhs):
+            rows.append(row)
+            rhs.append(v)
+        socs = []
+        for A_r, b_r in soc_blocks:
+            rows.extend(A_r)
+            rhs.extend(b_r)
+            socs.append(A_r.shape[0])
+        psds = []
+        for A_r, b_r, m in psd_blocks:
+            rows.extend(A_r)
+            rhs.extend(b_r)
+            psds.append(m)
+        A = np.stack(rows) if rows else np.zeros((0, n))
+        b = np.asarray(rhs, float)
+        cone = conic.ConeDims(
+            zero=len(zero_rows), nonneg=len(pos_rows),
+            socs=tuple(socs), psds=tuple(psds),
+        )
+        opts = (
+            options
+            if isinstance(options, conic.ConicOptions)
+            else conic.ConicOptions()
+        )
+        sol = conic.solve_conic(
+            jnp.asarray(P, dtype), jnp.asarray(q, dtype), jnp.asarray(A, dtype),
+            jnp.asarray(b, dtype), cone, opts,
+            x0=jnp.asarray(self.initial_guess(), dtype),
+        )
+        z = np.asarray(sol.x)
+        cost = 0.5 * z @ (P @ z) + q @ z + c0
+        return MathematicalProgramResult(
+            z, cost, bool(sol.converged), {"solver": "conic_admm", "conic": sol}
+        )
 
     def _assemble_quadratic(self):
         n = self._num_vars
