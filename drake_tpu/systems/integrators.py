@@ -150,6 +150,73 @@ def implicit_trapezoid(f, params, x, u, t, dt, newton_iters: int = 8):
     return jax.lax.fori_loop(0, newton_iters, body, y0)
 
 
+# Radau IIA 2-stage (order 3, L-stable) tableau.
+_RADAU_A = ((5.0 / 12.0, -1.0 / 12.0), (3.0 / 4.0, 1.0 / 4.0))
+_RADAU_B = (3.0 / 4.0, 1.0 / 4.0)
+_RADAU_C = (1.0 / 3.0, 1.0)
+
+
+def radau3(f, params, x, u, t, dt, newton_iters: int = 8):
+    """2-stage Radau IIA (order 3, L-stable) — Drake's RadauIntegrator
+    default (systems/analysis/radau_integrator.h, num_stages=2).
+
+    Newton on the stacked stage derivatives K = (k1, k2): the residual is
+    k_i - f(x + dt sum_j a_ij k_j).  Fixed iteration count keeps it inside
+    jit; the Jacobian is exact via jacfwd (2n x 2n dense — fine at ODE
+    sizes; the win over implicit Euler is order + stiff accuracy)."""
+    n = x.shape[0]
+
+    def residual(K):
+        k1, k2 = K[:n], K[n:]
+        x1 = x + dt * (_RADAU_A[0][0] * k1 + _RADAU_A[0][1] * k2)
+        x2 = x + dt * (_RADAU_A[1][0] * k1 + _RADAU_A[1][1] * k2)
+        r1 = k1 - f(params, x1, u, t + _RADAU_C[0] * dt)
+        r2 = k2 - f(params, x2, u, t + _RADAU_C[1] * dt)
+        return jnp.concatenate([r1, r2])
+
+    def body(_, K):
+        r = residual(K)
+        J = jax.jacfwd(residual)(K)
+        return K - jnp.linalg.solve(J, r)
+
+    k0 = f(params, x, u, t)
+    K = jax.lax.fori_loop(0, newton_iters, body, jnp.concatenate([k0, k0]))
+    k1, k2 = K[:n], K[n:]
+    return x + dt * (_RADAU_B[0] * k1 + _RADAU_B[1] * k2)
+
+
+def radau1(f, params, x, u, t, dt, newton_iters: int = 8):
+    """1-stage Radau IIA == implicit Euler (Drake RadauIntegrator<T,1>)."""
+    return implicit_euler(f, params, x, u, t, dt, newton_iters)
+
+
+def velocity_implicit_euler(
+    f, params, x, u, t, dt, num_q: int, newton_iters: int = 8
+):
+    """Implicit Euler implicit in the *velocities only* — Drake's
+    VelocityImplicitEulerIntegrator (velocity_implicit_euler_integrator.h).
+
+    For x = [q; v] with qdot = v:  q+ = q + dt v+,  v+ = v + dt a(q+, v+).
+    Newton runs on the nv-dim v-residual instead of the full state — the
+    Jacobian solve is 8x smaller in flops at nq == nv."""
+    q, v = x[:num_q], x[num_q:]
+
+    def residual(v_next):
+        q_next = q + dt * v_next
+        x_next = jnp.concatenate([q_next, v_next])
+        a = f(params, x_next, u, t + dt)[num_q:]
+        return v_next - v - dt * a
+
+    def body(_, v_next):
+        r = residual(v_next)
+        J = jax.jacfwd(residual)(v_next)
+        return v_next - jnp.linalg.solve(J, r)
+
+    v0 = v + dt * f(params, x, u, t)[num_q:]
+    v_next = jax.lax.fori_loop(0, newton_iters, body, v0)
+    return jnp.concatenate([q + dt * v_next, v_next])
+
+
 _REGISTRY = {
     "explicit_euler": explicit_euler,
     "euler": explicit_euler,
@@ -162,6 +229,9 @@ _REGISTRY = {
     "semi_explicit_euler": semi_explicit_euler,
     "implicit_euler": implicit_euler,
     "implicit_trapezoid": implicit_trapezoid,
+    "radau3": radau3,
+    "radau1": radau1,
+    "velocity_implicit_euler": velocity_implicit_euler,
 }
 
 

@@ -35,6 +35,8 @@ EXPECTED_ORDER = {
     "rk5": 5,
     "implicit_euler": 1,
     "implicit_trapezoid": 2,
+    "radau3": 3,
+    "radau1": 1,
 }
 
 
@@ -85,6 +87,35 @@ def test_implicit_euler_stiff_stability():
     x_imp = integrators.implicit_euler(stiff, None, x0, u, 0.0, 0.01)
     assert abs(float(x_exp[0])) > 1.0  # diverging oscillation
     assert 0.0 < float(x_imp[0]) < 0.2  # 1/(1+10) ~ 0.0909
+
+
+def test_radau3_l_stable():
+    """L-stability: |R(inf)| = 0 — a very stiff step lands near zero, with
+    no oscillation (unlike the trapezoid rule whose R(inf) = -1)."""
+
+    def stiff(params, x, u, t):
+        return -1e6 * x
+
+    x0 = jnp.array([1.0], dtype=F64)
+    u = jnp.zeros(1, dtype=F64)
+    x_r = integrators.radau3(stiff, None, x0, u, 0.0, 1.0)
+    assert abs(float(x_r[0])) < 1e-4
+    x_tr = integrators.implicit_trapezoid(stiff, None, x0, u, 0.0, 1.0)
+    assert abs(float(x_tr[0])) > 0.5  # trapezoid rings at stiffness
+
+
+def test_velocity_implicit_euler_matches_implicit_euler():
+    """For a system with qdot = v, the velocity-implicit update
+    (q+ = q + dt v+, v+ = v + dt a(q+, v+)) IS backward Euler — the two
+    integrators must agree to Newton tolerance."""
+    x0 = jnp.array([1.0, 0.0], dtype=F64)
+    u = jnp.zeros(1, dtype=F64)
+    dt = 0.05
+    x_ie = integrators.implicit_euler(oscillator, None, x0, u, 0.0, dt)
+    x_vie = integrators.velocity_implicit_euler(
+        oscillator, None, x0, u, 0.0, dt, num_q=1
+    )
+    np.testing.assert_allclose(np.asarray(x_vie), np.asarray(x_ie), atol=1e-10)
 
 
 def test_adaptive_matches_closed_form():
