@@ -142,3 +142,66 @@ class TestCheckpoint:
             load_checkpoint(p, like={"a": jnp.ones(3)})
         with _pytest.raises(ValueError):
             load_checkpoint(p, like={"a": jnp.ones(3), "c": jnp.zeros(2)})
+
+
+class TestMessageLog:
+    """Record/playback (the DrakeLcmLog + LcmLogPlaybackSystem roles)."""
+
+    def test_log_round_trip(self, tmp_path):
+        from drake_tpu.io.log import MessageLog
+
+        p = str(tmp_path / "traffic.log")
+        with MessageLog(p, "w") as log:
+            log.write(0.0, "STATE", b"\x01\x02")
+            log.write(0.5, "CMD", b"hello")
+            log.write(1.0, "STATE", b"\x03")
+        with MessageLog(p, "r") as log:
+            recs = list(log.records())
+        assert recs == [
+            (0.0, "STATE", b"\x01\x02"),
+            (0.5, "CMD", b"hello"),
+            (1.0, "STATE", b"\x03"),
+        ]
+
+    def test_attach_tees_publishes(self, tmp_path):
+        from drake_tpu.io.log import MessageLog
+        from drake_tpu.io.pubsub import PubSub
+
+        p = str(tmp_path / "tee.log")
+        node = PubSub("memq://logtest")
+        sub = node.subscribe("CH")
+        t = [0.0]
+        with MessageLog(p, "w") as log:
+            log.attach(node, clock=lambda: t[0])
+            node.publish("CH", b"a")
+            t[0] = 0.25
+            node.publish("CH", b"b")
+        node.handle()
+        assert node.receive(sub) == ("CH", b"a")
+        with MessageLog(p, "r") as log:
+            recs = list(log.records())
+        assert recs == [(0.0, "CH", b"a"), (0.25, "CH", b"b")]
+        node.close()
+
+    def test_playback_window(self, tmp_path):
+        from drake_tpu.io.log import MessageLog, playback
+        from drake_tpu.io.pubsub import PubSub
+
+        p = str(tmp_path / "replay.log")
+        with MessageLog(p, "w") as log:
+            for k in range(10):
+                log.write(0.1 * k, "X", bytes([k]))
+        node = PubSub("memq://replay")
+        sub = node.subscribe("X")
+        with MessageLog(p, "r") as log:
+            n = playback(log, node, t_start=0.25, t_end=0.65)
+        assert n == 4  # t = 0.3, 0.4, 0.5, 0.6
+        node.handle()
+        got = []
+        while True:
+            m = node.receive(sub)
+            if m is None:
+                break
+            got.append(m[1][0])
+        assert got == [3, 4, 5, 6]
+        node.close()
