@@ -514,7 +514,7 @@ class MathematicalProgram:
                 jnp.asarray(z0, dtype), jnp.asarray(lb, dtype),
                 jnp.asarray(ub, dtype), options=opts,
             )
-            success = bool(res.converged)
+            success = bool(res.success)
             zsol = np.asarray(res.z)
         else:
             res = sqp.solve(

@@ -5,6 +5,7 @@ sim-driver tracking test)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from drake_tpu.io.pubsub import PubSub
 from drake_tpu.manipulation.iiwa_driver import (
@@ -107,3 +108,60 @@ class TestSimDriver:
         )
         np.testing.assert_allclose(st.joint_position_commanded, q_goal)
         node.close()
+
+
+class TestWsgDriver:
+    """Schunk WSG stack (manipulation/schunk_wsg/ roles)."""
+
+    def test_command_status_round_trip(self):
+        from drake_tpu.io.pubsub import PubSub
+        from drake_tpu.manipulation import wsg_driver as wsg
+
+        node = PubSub("memq://wsgmsg")
+        sender = wsg.WsgCommandSender(node)
+        receiver = wsg.WsgCommandReceiver(node)
+        sender.send(wsg.WsgCommand(utime=7, target_position_mm=50.0, force=30.0))
+        cmd = receiver.latest(node)
+        assert cmd.utime == 7
+        assert cmd.target_position_mm == 50.0
+        assert cmd.force == 30.0
+
+        st_tx = wsg.WsgStatusSender(node)
+        st_rx = wsg.WsgStatusReceiver(node)
+        st_tx.send(wsg.WsgStatus(3, 42.0, -1.0, 12.5))
+        st = st_rx.latest(node)
+        assert st.actual_position_mm == 42.0 and st.actual_force == 12.5
+        node.close()
+
+    def test_trajectory_generator_rate_limits(self):
+        from drake_tpu.manipulation import wsg_driver as wsg
+
+        gen = wsg.WsgTrajectoryGenerator(initial_width=0.1, speed=0.4)
+        w = gen.step(0.01, 0.0)  # command full close
+        assert w == pytest.approx(0.1 - 0.004)  # moved at most speed*dt
+
+    def test_sim_driver_closes_to_width(self):
+        from drake_tpu.io.pubsub import PubSub
+        from drake_tpu.manipulation import wsg_driver as wsg
+
+        node = PubSub("memq://wsgsim")
+        driver = wsg.SimWsgDriver(node, initial_width=0.10)
+        sender = wsg.WsgCommandSender(node)
+        status_rx = wsg.WsgStatusReceiver(node)
+        sender.send(wsg.WsgCommand(utime=0, target_position_mm=20.0, force=40.0))
+        dt = 1e-3
+        for k in range(3000):
+            driver.step(node, k * dt, dt)
+        assert driver.width == pytest.approx(0.020, abs=2e-3)
+        st = status_rx.latest(node)
+        assert st is not None
+        assert st.actual_position_mm == pytest.approx(20.0, abs=2.0)
+        node.close()
+
+    def test_force_limit_respected(self):
+        from drake_tpu.manipulation import wsg_driver as wsg
+
+        ctrl = wsg.WsgPositionController()  # kp=200: 0.1 m error -> 20 N
+        f = ctrl.force(width=0.1, width_rate=0.0, target_width=0.0,
+                       force_limit=5.0)
+        assert f == -5.0  # clamped to the grip force limit
