@@ -107,3 +107,87 @@ def solve_ik(
         q_upper,
         opts,
     )
+
+
+class GlobalIkResult(NamedTuple):
+    q: jnp.ndarray  # best configuration found
+    cost: jnp.ndarray
+    constraint_violation: jnp.ndarray
+    success: jnp.ndarray
+    n_feasible: jnp.ndarray  # how many starts reached feasibility
+
+
+def solve_global_ik(
+    model: MultibodyModel,
+    params: MultibodyParams,
+    key,
+    num_starts: int,
+    body_index: int,
+    p_target,
+    p_BQ=None,
+    q_lower=None,
+    q_upper=None,
+    q_nominal=None,
+    posture_weight: float = 1e-3,
+    tol: float = 1e-6,
+    options: Optional[sqp.SqpOptions] = None,
+):
+    """Global position IK by massively-parallel multi-start NLP.
+
+    The reference's GlobalInverseKinematics (global_inverse_kinematics.h)
+    escapes local minima with a mixed-integer relaxation of the rotation
+    group solved on the host.  The TPU-idiomatic equivalent exploits what
+    the chip is good at instead: vmap `num_starts` NLP solves from
+    uniformly-sampled configurations in one XLA program and take the best
+    feasible solution.  On a chip where one solve and 256 solves cost
+    nearly the same wall time, dense multi-start IS the global method.
+
+    Returns GlobalIkResult with the best (lowest-cost feasible, else
+    lowest-violation) solution.  jit-friendly; vmap again over targets for
+    batched global IK.
+    """
+    p_target = jnp.asarray(p_target)
+    dtype = p_target.dtype
+    nq = model.num_positions
+    lo = (
+        jnp.full((nq,), -jnp.pi, dtype) if q_lower is None
+        else jnp.asarray(q_lower, dtype)
+    )
+    hi = (
+        jnp.full((nq,), jnp.pi, dtype) if q_upper is None
+        else jnp.asarray(q_upper, dtype)
+    )
+    q_nom = (
+        0.5 * (lo + hi) if q_nominal is None else jnp.asarray(q_nominal, dtype)
+    )
+    starts = lo + (hi - lo) * jax.random.uniform(
+        key, (num_starts, nq), dtype
+    )
+    # Always include the nominal posture as one start.
+    starts = starts.at[0].set(q_nom)
+
+    def one(q0):
+        res = solve_ik(
+            model, params, q0, body_index, p_target, p_BQ=p_BQ,
+            q_lower=q_lower, q_upper=q_upper,
+            posture_weight=posture_weight, tol=tol, options=options,
+        )
+        # Rank by posture cost from the NOMINAL (not the random start).
+        cost = posture_weight * jnp.sum((res.z - q_nom) ** 2)
+        return res.z, cost, res.constraint_violation, res.success
+
+    qs, costs, viols, succ = jax.vmap(one)(starts)
+    feasible = viols <= tol * 10.0
+    n_feasible = jnp.sum(feasible)
+    # Lowest cost among feasible; else lowest violation.
+    score = jnp.where(feasible, costs, jnp.inf)
+    best_feas = jnp.argmin(score)
+    best_any = jnp.argmin(viols)
+    best = jnp.where(n_feasible > 0, best_feas, best_any)
+    return GlobalIkResult(
+        q=qs[best],
+        cost=costs[best],
+        constraint_violation=viols[best],
+        success=n_feasible > 0,
+        n_feasible=n_feasible,
+    )
