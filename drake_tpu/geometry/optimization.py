@@ -1,0 +1,178 @@
+"""Convex-set algebra for planning (geometry/optimization role).
+
+The reference's ConvexSet hierarchy (geometry/optimization/convex_set.h:
+HPolyhedron, Hyperellipsoid, VPolytope, Point, Intersection,
+CartesianProduct, MinkowskiSum) powers IRIS and GCS.  drake_tpu's IRIS/GCS
+already use the HPolyhedron/Hyperellipsoid cores (planning/iris.py); this
+module completes the set family and the cross-set operations, with every
+membership/geometry query a pure JAX function (batched point containment is
+one vmap) and the LP-backed queries (VPolytope membership, Chebyshev
+center) going through the in-house program container rather than a host LP
+library.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Canonical half-space/ellipsoid types live with IRIS; re-exported here so
+# users can import everything from geometry.optimization (the reference
+# layout).
+from drake_tpu.planning.iris import HPolyhedron, Hyperellipsoid
+
+__all__ = [
+    "HPolyhedron",
+    "Hyperellipsoid",
+    "VPolytope",
+    "Point",
+    "intersection",
+    "cartesian_product",
+    "minkowski_sum_boxes",
+    "chebyshev_center",
+    "ellipsoid_contains",
+    "ellipsoid_from_sphere",
+]
+
+
+class VPolytope(NamedTuple):
+    """Convex hull of vertices (geometry/optimization/vpolytope.h role)."""
+
+    vertices: jnp.ndarray  # (k, n)
+
+    @staticmethod
+    def from_box(lower, upper) -> "VPolytope":
+        lower = np.asarray(lower, float)
+        upper = np.asarray(upper, float)
+        n = lower.shape[0]
+        corners = np.stack(
+            [
+                np.where(
+                    [(i >> j) & 1 for j in range(n)], upper, lower
+                )
+                for i in range(2**n)
+            ]
+        )
+        return VPolytope(vertices=jnp.asarray(corners))
+
+    @staticmethod
+    def from_points(points) -> "VPolytope":
+        """Reduce a cloud to its hull vertices (host-side qhull)."""
+        from drake_tpu.geometry.mesh_io import convex_hull_vertices
+
+        return VPolytope(
+            vertices=jnp.asarray(convex_hull_vertices(np.asarray(points)))
+        )
+
+    def contains(self, x, tol: float = 1e-7):
+        """Membership by convex-combination least squares + simplex
+        projection check — solved as a small NNLS via projected gradient
+        (fixed iterations, jit/vmap-friendly; no host LP)."""
+        V = self.vertices  # (k, n)
+        k = V.shape[0]
+        x = jnp.asarray(x, V.dtype)
+
+        # min_w ||V'w - x||^2  s.t. w >= 0, sum w = 1  (projected gradient
+        # on the simplex).
+        G = V @ V.T
+        c = V @ x
+        L = jnp.linalg.norm(G, ord="fro") + 1e-9  # Lipschitz bound
+
+        def simplex_project(w):
+            """Euclidean projection onto the probability simplex
+            (sort-based, Held-Wolfe-Crowder)."""
+            u = jnp.sort(w)[::-1]
+            css = jnp.cumsum(u) - 1.0
+            idx = jnp.arange(1, k + 1, dtype=w.dtype)
+            cond = u - css / idx > 0
+            rho = jnp.sum(cond)
+            theta = css[rho.astype(int) - 1] / rho
+            return jnp.maximum(w - theta, 0.0)
+
+        def body(w, _):
+            grad = G @ w - c
+            return simplex_project(w - grad / L), None
+
+        w0 = jnp.full((k,), 1.0 / k, V.dtype)
+        w, _ = jax.lax.scan(body, w0, None, length=200)
+        dist = jnp.linalg.norm(V.T @ w - x)
+        return dist <= tol + 1e-6 * (1.0 + jnp.linalg.norm(x))
+
+
+class Point(NamedTuple):
+    """A singleton set (geometry/optimization/point.h role)."""
+
+    x: jnp.ndarray
+
+    def contains(self, y, tol: float = 1e-9):
+        return jnp.linalg.norm(self.x - jnp.asarray(y, self.x.dtype)) <= tol
+
+
+def intersection(a: HPolyhedron, b: HPolyhedron) -> HPolyhedron:
+    """Intersection of half-space sets = stacked rows
+    (intersection.h role for the polyhedral case)."""
+    return HPolyhedron(
+        A=jnp.concatenate([a.A, b.A], axis=0),
+        b=jnp.concatenate([a.b, b.b], axis=0),
+    )
+
+
+def cartesian_product(a: HPolyhedron, b: HPolyhedron) -> HPolyhedron:
+    """A x B in block-diagonal H-form (cartesian_product.h role)."""
+    ma, na = a.A.shape
+    mb, nb = b.A.shape
+    A = jnp.zeros((ma + mb, na + nb), a.A.dtype)
+    A = A.at[:ma, :na].set(a.A)
+    A = A.at[ma:, na:].set(b.A)
+    return HPolyhedron(A=A, b=jnp.concatenate([a.b, b.b]))
+
+
+def minkowski_sum_boxes(
+    lower1, upper1, lower2, upper2
+) -> HPolyhedron:
+    """Minkowski sum of two axis-aligned boxes (minkowski_sum.h role for
+    the box case — the sum of boxes is the box of summed bounds)."""
+    return HPolyhedron.box(
+        jnp.asarray(lower1) + jnp.asarray(lower2),
+        jnp.asarray(upper1) + jnp.asarray(upper2),
+    )
+
+
+def chebyshev_center(poly: HPolyhedron) -> Tuple[jnp.ndarray, float]:
+    """Largest inscribed ball: the LP  max_r (x, r)  s.t.
+    a_i'x + ||a_i|| r <= b_i  (HPolyhedron::ChebyshevCenter role), solved
+    with the in-house IPM via the program container."""
+    from drake_tpu.solvers.program import MathematicalProgram
+
+    A = np.asarray(poly.A, float)
+    b = np.asarray(poly.b, float)
+    m, n = A.shape
+    norms = np.linalg.norm(A, axis=1)
+    prog = MathematicalProgram()
+    xr = prog.NewContinuousVariables(n + 1, "xr")  # (x, r)
+    prog.AddLinearCost(np.concatenate([np.zeros(n), [-1.0]]), xr)
+    rows = np.concatenate([A, norms[:, None]], axis=1)
+    prog.AddLinearConstraint(rows, np.full(m, -np.inf), b, xr)
+    prog.AddLinearConstraint(
+        np.concatenate([np.zeros(n), [1.0]])[None], 0.0, np.inf, xr
+    )
+    res = prog.Solve()
+    sol = np.atleast_1d(res.GetSolution(xr))
+    return jnp.asarray(sol[:n]), float(sol[n])
+
+
+def ellipsoid_contains(E: Hyperellipsoid, x, tol: float = 1e-9):
+    """(x-d)'C'C(x-d) <= 1."""
+    y = E.C @ (jnp.asarray(x, E.d.dtype) - E.d)
+    return jnp.sum(y * y) <= 1.0 + tol
+
+
+def ellipsoid_from_sphere(center, radius: float) -> Hyperellipsoid:
+    center = jnp.asarray(center)
+    n = center.shape[0]
+    return Hyperellipsoid(
+        C=jnp.eye(n, dtype=center.dtype) / radius, d=center
+    )
