@@ -206,3 +206,211 @@ class BsplineTrajectory:
         return BsplineTrajectory(
             knots=knots, control_points=control_points, order=order
         )
+
+
+@pytree_dataclass
+class BezierCurve:
+    """Bezier curve of arbitrary order on [start_time, end_time].
+
+    Reference: common/trajectories/bezier_curve.h — value() via the de
+    Casteljau/Bernstein form, derivative as an order-(n-1) Bezier with
+    control points n*(P_{i+1}-P_i).  Here evaluation is the Bernstein-basis
+    weighted sum (a single (n+1, dim) matvec — MXU-friendly and jit-safe;
+    no recursion).
+
+    control_points: (order + 1, dim).
+    """
+
+    breaks: jnp.ndarray  # (2,) = [t0, tf]
+    control_points: jnp.ndarray
+
+    @property
+    def start_time(self):
+        return self.breaks[0]
+
+    @property
+    def end_time(self):
+        return self.breaks[1]
+
+    @property
+    def order(self) -> int:
+        return self.control_points.shape[0] - 1
+
+    def _bernstein(self, s):
+        n = self.order
+        k = jnp.arange(n + 1)
+        # log-space binomials keep f32 exact up to order ~30
+        log_binom = (
+            jax.scipy.special.gammaln(n + 1.0)
+            - jax.scipy.special.gammaln(k + 1.0)
+            - jax.scipy.special.gammaln(n - k + 1.0)
+        )
+        s = jnp.clip(s, 0.0, 1.0)
+        # guard log(0): the k=0 / k=n endpoint weights are exact by clipping
+        log_s = jnp.log(jnp.maximum(s, 1e-30))
+        log_1ms = jnp.log(jnp.maximum(1.0 - s, 1e-30))
+        w = jnp.exp(log_binom + k * log_s + (n - k) * log_1ms)
+        w = jnp.where(s <= 0.0, (k == 0).astype(w.dtype), w)
+        w = jnp.where(s >= 1.0, (k == n).astype(w.dtype), w)
+        return w
+
+    def value(self, t):
+        s = (t - self.start_time) / (self.end_time - self.start_time)
+        return self._bernstein(s) @ self.control_points
+
+    def derivative(self) -> "BezierCurve":
+        n = self.order
+        dp = (
+            n
+            * (self.control_points[1:] - self.control_points[:-1])
+            / (self.end_time - self.start_time)
+        )
+        return BezierCurve(breaks=self.breaks, control_points=dp)
+
+    def derivative_value(self, t, order: int = 1):
+        c = self
+        for _ in range(order):
+            c = c.derivative()
+        return c.value(t)
+
+    def vector_values(self, ts):
+        return jax.vmap(self.value)(ts)
+
+
+@pytree_dataclass
+class PiecewiseQuaternionSlerp:
+    """Piecewise spherical-linear orientation trajectory.
+
+    Reference: common/trajectories/piecewise_quaternion.h — orientation(t)
+    slerps between knot quaternions; angular_velocity(t) is the constant
+    axis*angle/dt of the active segment (expressed in the world frame).
+
+    quats: (n, 4) wxyz knots, sign-aligned at construction so every segment
+    takes the short way around.
+    """
+
+    breaks: jnp.ndarray  # (n,)
+    quats: jnp.ndarray  # (n, 4)
+
+    @staticmethod
+    def make(breaks, quats):
+        from drake_tpu.math import rotations as rot
+
+        breaks = jnp.asarray(breaks)
+        quats = jnp.asarray(quats)
+        quats = jax.vmap(rot.quat_normalize)(quats)
+
+        # Align signs sequentially: q_{i+1} <- -q_{i+1} if dot < 0.  A scan
+        # (not a Python loop) so construction itself jits.
+        def align(q_prev, q):
+            q = jnp.where(jnp.dot(q_prev, q) < 0.0, -q, q)
+            return q, q
+
+        _, tail = jax.lax.scan(align, quats[0], quats[1:])
+        quats = jnp.concatenate([quats[:1], tail], axis=0)
+        return PiecewiseQuaternionSlerp(breaks=breaks, quats=quats)
+
+    @property
+    def start_time(self):
+        return self.breaks[0]
+
+    @property
+    def end_time(self):
+        return self.breaks[-1]
+
+    def _segment(self, t):
+        idx = jnp.searchsorted(self.breaks, t, side="right") - 1
+        return jnp.clip(idx, 0, self.breaks.shape[0] - 2)
+
+    def _segment_log(self, i):
+        """axis*angle of q_i^{-1} q_{i+1} (body-frame relative rotation)."""
+        from drake_tpu.math import rotations as rot
+
+        dq = rot.quat_multiply(rot.quat_conjugate(self.quats[i]),
+                               self.quats[i + 1])
+        w = jnp.clip(dq[0], -1.0, 1.0)
+        v = dq[1:]
+        vn = jnp.linalg.norm(v)
+        angle = 2.0 * jnp.arctan2(vn, w)
+        axis = v / jnp.maximum(vn, 1e-12)
+        return axis * angle
+
+    def orientation(self, t):
+        """Quaternion (wxyz) at scalar time t."""
+        from drake_tpu.math import rotations as rot
+
+        t = jnp.clip(t, self.start_time, self.end_time)
+        i = self._segment(t)
+        s = (t - self.breaks[i]) / jnp.maximum(
+            self.breaks[i + 1] - self.breaks[i], 1e-12
+        )
+        aa = self._segment_log(i) * s
+        angle = jnp.linalg.norm(aa)
+        axis = aa / jnp.maximum(angle, 1e-12)
+        dq = jnp.concatenate(
+            [jnp.cos(angle / 2)[None], jnp.sin(angle / 2) * axis]
+        )
+        return rot.quat_multiply(self.quats[i], dq)
+
+    def value(self, t):
+        return self.orientation(t)
+
+    def angular_velocity(self, t):
+        """World-frame angular velocity (piecewise constant)."""
+        from drake_tpu.math import rotations as rot
+
+        t = jnp.clip(t, self.start_time, self.end_time)
+        i = self._segment(t)
+        aa_body = self._segment_log(i) / jnp.maximum(
+            self.breaks[i + 1] - self.breaks[i], 1e-12
+        )
+        return rot.quat_rotate(self.quats[i], aa_body)
+
+
+@pytree_dataclass
+class PiecewisePose:
+    """Piecewise SE(3) trajectory: cubic position + slerp orientation.
+
+    Reference: common/trajectories/piecewise_pose.h
+    (MakeCubicLinearWithEndLinearVelocity — cubic translation with zero end
+    velocities + PiecewiseQuaternionSlerp orientation).
+    """
+
+    position: PiecewisePolynomial
+    orientation: PiecewiseQuaternionSlerp
+
+    @staticmethod
+    def make(breaks, positions, quats):
+        breaks = jnp.asarray(breaks)
+        positions = jnp.asarray(positions)
+        pos = PiecewisePolynomial.cubic_with_continuous_second_derivatives(
+            breaks, positions
+        )
+        return PiecewisePose(
+            position=pos,
+            orientation=PiecewiseQuaternionSlerp.make(breaks, quats),
+        )
+
+    @property
+    def start_time(self):
+        return self.position.start_time
+
+    @property
+    def end_time(self):
+        return self.position.end_time
+
+    def value(self, t):
+        """RigidTransform at scalar time t."""
+        from drake_tpu.math import rotations as rot
+        from drake_tpu.math.transforms import RigidTransform
+
+        q = self.orientation.orientation(t)
+        return RigidTransform(R=rot.quat_to_rotation(q),
+                              p=self.position.value(t))
+
+    def velocity(self, t):
+        """Spatial velocity [w; v] in the world frame."""
+        return jnp.concatenate([
+            self.orientation.angular_velocity(t),
+            self.position.derivative_value(t),
+        ])

@@ -302,3 +302,113 @@ class TestProfiling:
             sum(range(100))
         rep = st.report()
         assert "a" in rep and "TOTAL" in rep
+
+
+class TestBezierCurve:
+    """common/trajectories/bezier_curve.h semantics."""
+
+    def test_endpoints_and_linear_case(self):
+        from drake_tpu.math.trajectories import BezierCurve
+
+        pts = jnp.array([[0.0, 0.0], [1.0, 2.0]])
+        c = BezierCurve(breaks=jnp.array([1.0, 3.0]), control_points=pts)
+        np.testing.assert_allclose(np.asarray(c.value(1.0)), [0.0, 0.0],
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c.value(3.0)), [1.0, 2.0],
+                                   atol=1e-6)
+        # order-1 Bezier is linear interpolation
+        np.testing.assert_allclose(np.asarray(c.value(2.0)), [0.5, 1.0],
+                                   atol=1e-6)
+
+    def test_matches_de_casteljau_cubic(self):
+        from drake_tpu.math.trajectories import BezierCurve
+
+        pts = np.array([[0.0], [1.0], [-1.0], [2.0]])
+        c = BezierCurve(breaks=jnp.array([0.0, 1.0]),
+                        control_points=jnp.asarray(pts))
+
+        def casteljau(p, s):
+            p = p.copy()
+            while len(p) > 1:
+                p = [(1 - s) * a + s * b for a, b in zip(p[:-1], p[1:])]
+            return p[0]
+
+        for s in [0.1, 0.35, 0.72, 0.9]:
+            np.testing.assert_allclose(
+                np.asarray(c.value(s)), casteljau(list(pts), s), atol=1e-5)
+
+    def test_derivative_matches_autodiff(self):
+        from drake_tpu.math.trajectories import BezierCurve
+
+        pts = jnp.array([[0.0], [1.0], [-1.0], [2.0]])
+        c = BezierCurve(breaks=jnp.array([0.0, 2.0]), control_points=pts)
+        t = 0.77
+        ad = jax.jacfwd(c.value)(t)
+        np.testing.assert_allclose(np.asarray(c.derivative_value(t)),
+                                   np.asarray(ad), atol=1e-4)
+
+
+class TestPiecewiseQuaternionSlerp:
+    """common/trajectories/piecewise_quaternion.h semantics."""
+
+    def _make(self):
+        from drake_tpu.math import rotations as rot
+        from drake_tpu.math.trajectories import PiecewiseQuaternionSlerp
+
+        qs = jnp.stack([
+            rot.quat_identity(jnp.float64),
+            rot.rotation_to_quat(rot.rot_z(jnp.pi / 2)),
+            rot.rotation_to_quat(rot.rot_z(jnp.pi)),
+        ])
+        return PiecewiseQuaternionSlerp.make(jnp.array([0.0, 1.0, 2.0]), qs)
+
+    def test_interpolates_on_geodesic(self):
+        from drake_tpu.math import rotations as rot
+
+        traj = self._make()
+        # halfway through segment 0: rotation by pi/4 about z
+        q = traj.orientation(0.5)
+        R = rot.quat_to_rotation(q)
+        np.testing.assert_allclose(
+            np.asarray(R), np.asarray(rot.rot_z(jnp.pi / 4)), atol=1e-6)
+
+    def test_angular_velocity_constant_per_segment(self):
+        traj = self._make()
+        w = traj.angular_velocity(0.3)
+        np.testing.assert_allclose(np.asarray(w), [0, 0, np.pi / 2],
+                                   atol=1e-6)
+
+    def test_sign_alignment_takes_short_way(self):
+        from drake_tpu.math import rotations as rot
+        from drake_tpu.math.trajectories import PiecewiseQuaternionSlerp
+
+        q0 = rot.quat_identity(jnp.float64)
+        q1 = -rot.rotation_to_quat(rot.rot_z(0.2))  # flipped sign
+        traj = PiecewiseQuaternionSlerp.make(
+            jnp.array([0.0, 1.0]), jnp.stack([q0, q1]))
+        w = traj.angular_velocity(0.5)
+        assert abs(float(jnp.linalg.norm(w)) - 0.2) < 1e-6
+
+
+class TestPiecewisePose:
+    def test_pose_and_velocity(self):
+        from drake_tpu.math import rotations as rot
+        from drake_tpu.math.trajectories import PiecewisePose
+
+        breaks = jnp.array([0.0, 1.0, 2.0])
+        positions = jnp.array([[0.0, 0, 0], [1.0, 0, 0], [1.0, 1, 0]])
+        quats = jnp.stack([
+            rot.quat_identity(jnp.float64),
+            rot.rotation_to_quat(rot.rot_x(0.5)),
+            rot.rotation_to_quat(rot.rot_x(1.0)),
+        ])
+        traj = PiecewisePose.make(breaks, positions, quats)
+        X = traj.value(0.0)
+        np.testing.assert_allclose(np.asarray(X.p), [0, 0, 0], atol=1e-9)
+        X = traj.value(2.0)
+        np.testing.assert_allclose(np.asarray(X.p), [1, 1, 0], atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(X.R), np.asarray(rot.rot_x(1.0)), atol=1e-6)
+        v = traj.velocity(1.5)
+        assert v.shape == (6,)
+        np.testing.assert_allclose(np.asarray(v[:3]), [0.5, 0, 0], atol=1e-6)
