@@ -136,3 +136,76 @@ def step_with_forces(
     sol = sap.solve_sap(data, data.v_star, sap_params)
     q_next = advance_positions(model, params, q, sol.v, h)
     return q_next, sol.v, sol, contact
+
+
+def contact_forces_continuous(
+    model: MultibodyModel,
+    params: MultibodyParams,
+    scene: CollisionScene,
+    q,
+    v,
+    dissipation_hc: float = 1.0,
+    stiction_velocity: float = 1e-3,
+):
+    """Compliant point-contact generalized forces for the CONTINUOUS plant.
+
+    The reference's continuous-time contact path (MultibodyPlant with
+    time_step=0, ContactModel point: compliant penalty forces with
+    Hunt-Crossley dissipation, multibody/plant/multibody_plant.h:134;
+    hunt_crossley dissipation form f = k x (1 + d xdot)+ and regularized
+    Coulomb friction per contact_model docs).  Discrete SAP replaces this
+    for MPC; this path exists for error-controlled integration of smooth
+    contact (bouncing, rolling) with the RK/Radau integrators.
+
+    Returns tau_c (nv,) to add to the applied generalized forces.
+    """
+    contact = scene.query(model, params, q)
+    nc = contact.phi.shape[0]
+    nv = model.num_velocities
+    if nc == 0:
+        return jnp.zeros(nv, q.dtype)
+    frames = sap.contact_frame(contact.n_W)  # (nc, 3, 3) cols [t1 t2 n]
+    frames_list = [frames[c] for c in range(nc)]
+    J = sap.make_contact_jacobian(model, params, q, contact, frames_list)
+    vc = jnp.einsum("cij,j->ci", J, v)  # (nc, 3) [vt1, vt2, vn]
+
+    x = jnp.maximum(-contact.phi, 0.0)  # penetration depth
+    xdot = -vc[:, 2]  # penetration rate (vn separates)
+    d = dissipation_hc * contact.dissipation
+    fn = contact.stiffness * x * jnp.maximum(1.0 + d * xdot, 0.0)
+
+    vt = vc[:, :2]
+    slip = jnp.sqrt(jnp.sum(vt**2, axis=1) + stiction_velocity**2)
+    ft = -contact.friction[:, None] * fn[:, None] * vt / slip[:, None]
+
+    f_c = jnp.concatenate([ft, fn[:, None]], axis=1)  # (nc, 3) contact frame
+    return jnp.einsum("cij,ci->j", J, f_c)
+
+
+def make_continuous_contact_system(
+    model: MultibodyModel,
+    params: MultibodyParams,
+    scene: CollisionScene,
+    actuated_joints: Optional[Sequence[str]] = None,
+    dissipation_hc: float = 1.0,
+    stiction_velocity: float = 1e-3,
+):
+    """Continuous plant WITH compliant point contact: xdot = f(params, x, u).
+
+    The ContactModel-point continuous MultibodyPlant role.  Integrate with
+    drake_tpu.systems.integrators (error-controlled RK or implicit Radau for
+    stiff stiffness/dissipation settings).
+    """
+    from drake_tpu.multibody.plant import make_system
+
+    def contact_tau(p, q, v, t):
+        return contact_forces_continuous(
+            model, p, scene, q, v,
+            dissipation_hc=dissipation_hc,
+            stiction_velocity=stiction_velocity,
+        )
+
+    return make_system(
+        model, params, actuated_joints=actuated_joints,
+        applied_forces=lambda p, q, v, t: contact_tau(p, q, v, t),
+    )
