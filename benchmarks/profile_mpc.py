@@ -38,6 +38,11 @@ parser.add_argument(
     "--refresh-every", type=int, default=0,
     help="repeat the heavy first-iters solve every k-th MPC step")
 parser.add_argument(
+    "--rti", action="store_true",
+    help="fused always-accept RTI step for the light solves "
+    "(ilqr.rti_solve: 2 dynamics passes per knot instead of 3)",
+)
+parser.add_argument(
     "--plan-unroll", type=int, default=0,
     help="use a fixed-N-iteration scan SAP for the iLQR-internal dynamics "
     "(derivatives + line search) while the state advance keeps the full "
@@ -136,13 +141,16 @@ def _run_mpc_only(
     else:
         plan_g, sim_g = dsys.g, None
 
+    light_options = ilqr.IlqrOptions(
+        max_iters=args.ilqr_iters, use_jacrev=True, alphas=alphas,
+        rti=args.rti,
+    )
+
     def scenario(x):
         return mpc.ilqr_mpc_rollout(
             plan_g, running_cost, final_cost, params, x, us0, mpc_steps,
             dt=h, u_lower=-lim, u_upper=lim,
-            options=ilqr.IlqrOptions(
-                max_iters=args.ilqr_iters, use_jacrev=True, alphas=alphas
-            ),
+            options=light_options,
             sim_dynamics=sim_g,
             first_options=first_options,
             refresh_every=args.refresh_every,

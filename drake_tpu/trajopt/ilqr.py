@@ -42,6 +42,10 @@ class IlqrOptions:
     # contain custom_vjp primitives (e.g. the SAP contact solve, which
     # differentiates via the implicit-function theorem and has no jvp rule).
     use_jacrev: bool = False
+    # Real-time-iteration mode: solve() delegates to rti_solve() — one
+    # fused always-accept Newton step (2 dynamics passes per knot instead
+    # of 3; see rti_solve).  max_iters/alphas are ignored.
+    rti: bool = False
 
 
 class IlqrResult(NamedTuple):
@@ -71,6 +75,11 @@ def solve(
     Times passed to dynamics/cost are k*dt.
     """
     opts = options
+    if opts.rti:
+        return rti_solve(
+            dynamics, running_cost, final_cost, params, x0, us_init,
+            dt=dt, u_lower=u_lower, u_upper=u_upper, reg=opts.reg_init,
+        )
     N, nu = us_init.shape
     nx = x0.shape[0]
     dtype = x0.dtype
@@ -238,4 +247,144 @@ def solve(
     xs, us, cost, reg, it, done, Ks, ks = jax.lax.while_loop(cond, ilqr_iter, state)
     return IlqrResult(
         xs=xs, us=us, K=Ks, k=ks, cost=cost, iterations=it, converged=done
+    )
+
+
+def rti_solve(
+    dynamics: Callable,
+    running_cost: Callable,
+    final_cost: Callable,
+    params: Any,
+    x0: jnp.ndarray,
+    us_init: jnp.ndarray,
+    dt: float = 1.0,
+    u_lower: Optional[jnp.ndarray] = None,
+    u_upper: Optional[jnp.ndarray] = None,
+    reg: float = 1e-6,
+) -> IlqrResult:
+    """One fused real-time-iteration iLQR step (always-accept, alpha = 1).
+
+    The tracking workhorse of the RTI MPC schedule: after a heavy planning
+    solve, each period needs exactly one backward/forward pass from the
+    shifted warm start.  Two structural savings over solve(max_iters=1):
+
+      1. The linearization rollout and the dynamics Jacobians come from ONE
+         dynamics pass per knot: jax.vjp gives the primal x_next and the
+         pullback, and 26 basis pulls through the SAP custom_vjp reuse the
+         implicit-function system at the optimum (no second forward solve —
+         solve(max_iters=1) pays separate rollout and jacrev passes).
+      2. No line search and no acceptance test: the full Newton step is
+         applied (standard RTI), so the solve is rollout + backward +
+         one forward = 2 dynamics passes per knot instead of 3.
+
+    A branch-free NaN guard returns the warm start unchanged if the step
+    produced non-finite numbers (one bad f32 lane cannot poison its
+    scenario).
+    """
+    N, nu = us_init.shape
+    nx = x0.shape[0]
+    dtype = x0.dtype
+    ts = dt * jnp.arange(N, dtype=dtype)
+    has_limits = u_lower is not None or u_upper is not None
+    lo = jnp.full((nu,), -jnp.inf, dtype) if u_lower is None else u_lower
+    hi = jnp.full((nu,), jnp.inf, dtype) if u_upper is None else u_upper
+
+    def clamp(u):
+        return jnp.clip(u, lo, hi) if has_limits else u
+
+    us0 = jax.vmap(clamp)(us_init)
+    eye_out = jnp.eye(nx, dtype=dtype)
+
+    def fused_step(x, inp):
+        """One dynamics pass -> (x_next, J, cost grad/hessian)."""
+        u, t = inp
+        xu = jnp.concatenate([x, u])
+
+        def dyn_xu(z):
+            return dynamics(params, z[:nx], z[nx:], t)
+
+        x_next, pullback = jax.vjp(dyn_xu, xu)
+        J = jax.vmap(lambda ct: pullback(ct)[0])(eye_out)  # (nx, nx+nu)
+
+        def cost_xu(z):
+            return running_cost(params, z[:nx], z[nx:], t)
+
+        c = cost_xu(xu)
+        g = jax.grad(cost_xu)(xu)
+        H = jax.hessian(cost_xu)(xu)
+        return x_next, (x_next, J, g, H, c)
+
+    _, (xs_tail, Js, gs, Hs, cs) = jax.lax.scan(fused_step, x0, (us0, ts))
+    xs = jnp.concatenate([x0[None], xs_tail], axis=0)
+    cost_warm = jnp.sum(cs) + final_cost(params, xs[-1])
+
+    Vx = jax.grad(lambda xx: final_cost(params, xx))(xs[-1])
+    Vxx = jax.hessian(lambda xx: final_cost(params, xx))(xs[-1])
+
+    def bstep(carry, inp):
+        Vx, Vxx = carry
+        J, g, H, u = inp
+        fx, fu = J[:, :nx], J[:, nx:]
+        lx, lu = g[:nx], g[nx:]
+        lxx, luu, lux = H[:nx, :nx], H[nx:, nx:], H[nx:, :nx]
+        Qx = lx + fx.T @ Vx
+        Qu = lu + fu.T @ Vx
+        Qxx = lxx + fx.T @ Vxx @ fx
+        Quu = luu + fu.T @ Vxx @ fu + reg * jnp.eye(nu, dtype=dtype)
+        Qux = lux + fu.T @ Vxx @ fx
+        L = jnp.linalg.cholesky(Quu)
+        pd = jnp.all(jnp.isfinite(jnp.diagonal(L)))
+        Quu_inv = jnp.linalg.inv(jnp.where(pd, Quu, jnp.eye(nu, dtype=dtype)))
+        kff = -Quu_inv @ Qu
+        K = -Quu_inv @ Qux
+        if has_limits:
+            u_new = clamp(u + kff)
+            kff_c = u_new - u
+            free = jnp.logical_and(u_new > lo + 1e-9, u_new < hi - 1e-9)
+            kff = kff_c
+            K = K * free[:, None].astype(dtype)
+        Vx_new = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
+        Vxx_new = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+        Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+        return (Vx_new, Vxx_new), (kff, K)
+
+    (_, _), (ks, Ks) = jax.lax.scan(
+        bstep, (Vx, Vxx), (Js, gs, Hs, us0), reverse=True
+    )
+
+    def fstep(carry, inp):
+        x, cost = carry
+        x_ref, u_ref, kff, K, t = inp
+        u = clamp(u_ref + kff + K @ (x - x_ref))
+        cost = cost + running_cost(params, x, u, t)
+        x_next = dynamics(params, x, u, t)
+        return (x_next, cost), (x_next, u)
+
+    (x_last, run_cost), (xs_new_tail, us_new) = jax.lax.scan(
+        fstep, (x0, jnp.asarray(0.0, dtype)), (xs[:-1], us0, ks, Ks, ts)
+    )
+    cost_new = run_cost + final_cost(params, x_last)
+    xs_new = jnp.concatenate([x0[None], xs_new_tail], axis=0)
+
+    # Branch-free guards: reject the step wholesale if it produced
+    # non-finite numbers OR increased the cost (the linearization rollout
+    # already priced the warm start, so this monotonicity test is free —
+    # it is what keeps always-accept RTI from degrading hard contact lanes
+    # the full solver's line search would have protected).
+    ok = jnp.logical_and(
+        jnp.logical_and(
+            jnp.all(jnp.isfinite(us_new)), jnp.all(jnp.isfinite(xs_new))
+        ),
+        cost_new <= cost_warm,
+    )
+    xs_out = jnp.where(ok, xs_new, xs)
+    us_out = jnp.where(ok, us_new, us0)
+    return IlqrResult(
+        xs=xs_out,
+        us=us_out,
+        K=Ks,
+        k=ks,
+        cost=jnp.where(ok, cost_new, cost_warm),
+        iterations=jnp.array(1),
+        converged=jnp.all(jnp.isfinite(xs)) & jnp.all(jnp.isfinite(us0)),
     )

@@ -176,3 +176,86 @@ class TestIlqrMpcRefresh:
         assert float(jnp.linalg.norm(res.xs[-1])) < 0.75
         # heavy solves at steps 0, 4, 8 burn more iterations
         assert float(res.solve_iters[0]) >= float(res.solve_iters[1])
+
+
+class TestRtiSolve:
+    """rti_solve: the fused one-Newton-step real-time-iteration iLQR.
+
+    On a linear-quadratic problem the Riccati backward pass is exact, so a
+    single RTI step from ANY warm start must match the fully converged iLQR
+    solution (reference MPC tracking role:
+    systems/controllers/linear_model_predictive_controller.h:41 re-solves a
+    QP each period; RTI is the fixed-one-iteration SQP variant of that).
+    """
+
+    def _lq(self):
+        from drake_tpu.trajopt import ilqr
+
+        dt = 0.1
+
+        def dyn(params, x, u, t):
+            return jnp.array([x[0] + dt * x[1], x[1] + dt * u[0]])
+
+        def rc(params, x, u, t):
+            return 0.1 * jnp.sum(u**2) + jnp.sum(x**2)
+
+        def fc(params, x):
+            return 10.0 * jnp.sum(x**2)
+
+        x0 = jnp.array([1.0, -0.5])
+        us0 = jnp.full((8, 1), 0.3)
+        return ilqr, dyn, rc, fc, x0, us0
+
+    def test_one_rti_step_exact_on_lq(self):
+        ilqr, dyn, rc, fc, x0, us0 = self._lq()
+        full = ilqr.solve(dyn, rc, fc, None, x0, us0,
+                          options=ilqr.IlqrOptions(max_iters=30))
+        rti = ilqr.rti_solve(dyn, rc, fc, None, x0, us0, reg=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(rti.us), np.asarray(full.us), atol=1e-6)
+        np.testing.assert_allclose(
+            float(rti.cost), float(full.cost), rtol=1e-8)
+        assert bool(rti.converged)
+
+    def test_options_rti_routes(self):
+        ilqr, dyn, rc, fc, x0, us0 = self._lq()
+        via_opts = ilqr.solve(dyn, rc, fc, None, x0, us0,
+                              options=ilqr.IlqrOptions(rti=True, reg_init=1e-10))
+        direct = ilqr.rti_solve(dyn, rc, fc, None, x0, us0, reg=1e-10)
+        np.testing.assert_allclose(np.asarray(via_opts.us),
+                                   np.asarray(direct.us), atol=1e-12)
+
+    def test_control_limits_respected(self):
+        ilqr, dyn, rc, fc, x0, us0 = self._lq()
+        lim = jnp.array([0.5])
+        rti = ilqr.rti_solve(dyn, rc, fc, None, x0, us0,
+                             u_lower=-lim, u_upper=lim)
+        assert float(jnp.max(jnp.abs(rti.us))) <= 0.5 + 1e-7
+        # and it still improves on the (clamped) warm start
+        def cost_of(us):
+            x, c = x0, 0.0
+            for k in range(us.shape[0]):
+                c += float(rc(None, x, us[k], 0.0))
+                x = dyn(None, x, us[k], 0.0)
+            return c + float(fc(None, x))
+        assert cost_of(np.asarray(rti.us)) < cost_of(
+            np.clip(np.asarray(us0), -0.5, 0.5))
+
+    def test_nan_guard_returns_warm_start(self):
+        ilqr, _, rc, fc, x0, us0 = self._lq()
+
+        def bad_dyn(params, x, u, t):
+            return x + jnp.sqrt(-jnp.sum(u**2)) * jnp.ones_like(x)
+
+        rti = ilqr.rti_solve(bad_dyn, rc, fc, None, x0, us0)
+        assert not bool(rti.converged)
+        np.testing.assert_allclose(np.asarray(rti.us), np.asarray(us0))
+
+    def test_vmap_jit(self):
+        ilqr, dyn, rc, fc, x0, us0 = self._lq()
+        x0s = jnp.stack([x0, 2.0 * x0, -x0])
+        f = jax.jit(jax.vmap(
+            lambda x: ilqr.rti_solve(dyn, rc, fc, None, x, us0).us))
+        out = f(x0s)
+        assert out.shape == (3, 8, 1)
+        assert bool(jnp.all(jnp.isfinite(out)))
