@@ -306,3 +306,27 @@ def simulate_hybrid(
     xs = jnp.concatenate([x0[None], xs], axis=0)
     ts = dt * jnp.arange(nstep + 1, dtype=dtype)
     return xs, ts, counts
+
+
+def dense_output(system: ContinuousSystem, params, xs, ts, us):
+    """C1 Hermite interpolant of a simulation trace (dense output).
+
+    The reference's HermitianDenseOutput (systems/analysis/
+    hermitian_dense_output.h): integrators append (t, x, xdot) steps and the
+    trajectory is queried at arbitrary times afterwards.  Here the knot
+    derivatives are recomputed exactly from the dynamics (one vmapped f
+    evaluation over the trace) and the interpolant is the existing
+    PiecewisePolynomial.cubic_hermite — jit/vmap-friendly evaluation.
+
+    Args:
+      xs: (N+1, nx) states from simulate(); ts: (N+1,); us: (N, nu) ZOH
+        inputs (the last input is held for the final knot).
+    Returns a PiecewisePolynomial over [ts[0], ts[-1]].
+    """
+    from drake_tpu.math.trajectories import PiecewisePolynomial
+
+    us_knots = jnp.concatenate([us, us[-1:]], axis=0)
+    xdots = jax.vmap(lambda x, u, t: system.f(params, x, u, t))(
+        xs, us_knots, ts
+    )
+    return PiecewisePolynomial.cubic_hermite(ts, xs, xdots)

@@ -138,3 +138,29 @@ def test_adaptive_jits():
     )
     out = fn(x0)
     np.testing.assert_allclose(out, fn(x0), atol=0)
+
+
+class TestDenseOutput:
+    """HermitianDenseOutput role (systems/analysis/hermitian_dense_output.h):
+    a C1 interpolant of the simulation trace queried at arbitrary times."""
+
+    def test_matches_analytic_oscillator(self):
+        from drake_tpu.systems import simulator
+        from drake_tpu.systems.base import ContinuousSystem
+
+        sys_ = ContinuousSystem(
+            f=lambda p, x, u, t: jnp.array([x[1], -x[0]]),
+            num_states=2, num_inputs=0,
+        )
+        x0 = jnp.array([1.0, 0.0], jnp.float64)
+        us = jnp.zeros((50, 0), jnp.float64)
+        xs, ts = simulator.simulate(sys_, None, x0, us, 0.1, method="rk4")
+        traj = simulator.dense_output(sys_, None, xs, ts, us)
+        tq = jnp.linspace(0.0, 5.0, 77)
+        vals = jax.vmap(traj.value)(tq)
+        np.testing.assert_allclose(
+            np.asarray(vals[:, 0]), np.cos(np.asarray(tq)), atol=2e-5)
+        # C1: derivative matches -sin between knots too
+        dv = jax.vmap(lambda t: traj.derivative_value(t))(tq[3:-3])
+        np.testing.assert_allclose(
+            np.asarray(dv[:, 0]), -np.sin(np.asarray(tq[3:-3])), atol=5e-4)
