@@ -32,6 +32,10 @@ parser.add_argument(
     "--first-iters", type=int, default=0,
     help="heavier FIRST solve (real-time-iteration schedule); 0 = off",
 )
+parser.add_argument(
+    "--first-alphas", type=int, default=6,
+    help="line-search candidates in the heavy first solve",
+)
 parser.add_argument("--plan-ls", type=int, default=12)
 parser.add_argument("--horizon", type=int, default=12)
 parser.add_argument(
@@ -121,9 +125,14 @@ def _run_mpc_only(
     alphas = tuple(
         alphas_full[:: max(1, len(alphas_full) // args.n_alphas)][: args.n_alphas]
     )
+    first_alphas = tuple(
+        alphas_full[:: max(1, len(alphas_full) // args.first_alphas)][
+            : args.first_alphas
+        ]
+    )
     first_options = (
         ilqr.IlqrOptions(
-            max_iters=args.first_iters, use_jacrev=True, alphas=alphas_full
+            max_iters=args.first_iters, use_jacrev=True, alphas=first_alphas
         )
         if args.first_iters
         else None
