@@ -58,3 +58,38 @@ def check_edges(model, params, scene, q_pairs, num_samples: int = 16, padding=0.
             model, params, scene, pair[0], pair[1], num_samples, padding
         )
     )(q_pairs)
+
+
+def visibility_graph(
+    model, params, scene, points, num_samples: int = 16, padding: float = 0.0
+):
+    """Adjacency matrix of the visibility graph over sample configurations.
+
+    The reference's parallel VisibilityGraph (planning/visibility_graph.h:
+    thread-parallel pairwise edge checks between sampled configurations,
+    feeding clique-cover IRIS).  TPU-native: ALL n(n-1)/2 edges check at
+    once — one vmap over the flattened pair list, each edge sampled at
+    num_samples interpolated configurations.
+
+    Args:
+      points: (n, nq) sample configurations.
+    Returns:
+      adjacency: (n, n) bool, symmetric, True where the straight-line edge
+      is collision-free; the diagonal is each point's own validity.
+    """
+    n = points.shape[0]
+    iu, ju = jnp.triu_indices(n, k=1)
+    q_pairs = jnp.stack([points[iu], points[ju]], axis=1)  # (m, 2, nq)
+    free = check_edges(
+        model, params, scene, q_pairs, num_samples=num_samples,
+        padding=padding,
+    )
+    adj = jnp.zeros((n, n), bool)
+    adj = adj.at[iu, ju].set(free)
+    adj = adj.at[ju, iu].set(free)
+    valid = check_configs(model, params, scene, points, padding=padding)
+    adj = adj.at[jnp.arange(n), jnp.arange(n)].set(valid)
+    # an edge into an invalid endpoint is not usable
+    adj = jnp.logical_and(adj, valid[None, :])
+    adj = jnp.logical_and(adj, valid[:, None])
+    return adj

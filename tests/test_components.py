@@ -204,6 +204,21 @@ class TestCollisionChecker:
             cc.check_edge(model, params, scene, q_home, q_down, num_samples=8)
         )
 
+    def test_visibility_graph(self):
+        """planning/visibility_graph.h role: all-pairs edge checks."""
+        model, params = iiwa.make_model(F64)
+        scene = iiwa.make_contact_scene(model)
+        q_home = iiwa.home_position(F64)
+        q_near = q_home.at[0].add(0.2)
+        q_down = q_home.at[1].set(2.0).at[3].set(0.0)
+        pts = jnp.stack([q_home, q_near, q_down])
+        adj = cc.visibility_graph(model, params, scene, pts, num_samples=8)
+        assert adj.shape == (3, 3)
+        assert bool(adj[0, 1]) and bool(adj[1, 0])  # symmetric, free edge
+        # every edge touching the in-collision point is unusable
+        assert not bool(adj[0, 2]) and not bool(adj[2, 2])
+        assert not bool(adj[2, 1])
+
 
 class TestDiagram:
     def test_cascade_integrator_chain(self):
