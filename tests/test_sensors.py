@@ -184,3 +184,43 @@ class TestColorImage:
         assert f[2] > 0.1 and f[0] == 0.0
         b = img[0, 16]  # background: black
         np.testing.assert_allclose(b, 0.0)
+
+
+class TestImageWriter:
+    """image_writer.h role: camera frames to numbered PNG files."""
+
+    def test_png_round_trip_via_stdlib(self, tmp_path):
+        import zlib
+
+        from drake_tpu.sensors.image_writer import (
+            ImageWriter,
+            read_png_size,
+            write_png,
+        )
+
+        rgb = (np.arange(12 * 16 * 3) % 255).reshape(12, 16, 3).astype(
+            np.uint8)
+        p = str(tmp_path / "rgb.png")
+        write_png(p, rgb)
+        assert read_png_size(p) == (16, 12)
+        # decode the IDAT and verify pixel payload survives
+        data = open(p, "rb").read()
+        idat_start = data.index(b"IDAT") + 4
+        idat_len = int.from_bytes(data[idat_start - 8: idat_start - 4], "big")
+        raw = zlib.decompress(data[idat_start: idat_start + idat_len])
+        # strip per-row filter bytes
+        rows = [raw[r * (16 * 3 + 1) + 1:(r + 1) * (16 * 3 + 1)]
+                for r in range(12)]
+        np.testing.assert_array_equal(
+            np.frombuffer(b"".join(rows), np.uint8).reshape(12, 16, 3), rgb)
+
+    def test_float_depth_normalization_and_numbering(self, tmp_path):
+        from drake_tpu.sensors.image_writer import ImageWriter, read_png_size
+
+        w = ImageWriter(str(tmp_path), label="depth")
+        depth = np.linspace(0.5, 3.0, 8 * 10).reshape(8, 10)
+        p0 = w.save(depth)
+        p1 = w.save(depth)
+        assert p0.endswith("depth_000000.png")
+        assert p1.endswith("depth_000001.png")
+        assert read_png_size(p0) == (10, 8)
