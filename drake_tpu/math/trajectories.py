@@ -63,6 +63,15 @@ class PiecewisePolynomial:
     def vector_values(self, ts):
         return jax.vmap(self.value)(ts)
 
+    def derivative(self) -> "PiecewisePolynomial":
+        """The derivative as a trajectory (Trajectory::MakeDerivative)."""
+        c = self.coeffs
+        dc = jnp.stack(
+            [c[:, 1], 2.0 * c[:, 2], 3.0 * c[:, 3], jnp.zeros_like(c[:, 0])],
+            axis=1,
+        )
+        return PiecewisePolynomial(breaks=self.breaks, coeffs=dc)
+
     # ---- constructors (matching the reference's names) -------------------
     @staticmethod
     def zero_order_hold(breaks, samples):

@@ -427,3 +427,23 @@ class TestPiecewisePose:
         v = traj.velocity(1.5)
         assert v.shape == (6,)
         np.testing.assert_allclose(np.asarray(v[:3]), [0.5, 0, 0], atol=1e-6)
+
+
+class TestPiecewiseDerivativeTrajectory:
+    def test_derivative_matches_derivative_value(self):
+        from drake_tpu.math.trajectories import PiecewisePolynomial
+
+        breaks = jnp.array([0.0, 1.0, 2.5, 4.0])
+        samples = jnp.array([[0.0], [1.0], [-1.0], [2.0]])
+        traj = PiecewisePolynomial.cubic_with_continuous_second_derivatives(
+            breaks, samples)
+        dtraj = traj.derivative()
+        for t in [0.1, 0.9, 1.7, 3.3]:
+            np.testing.assert_allclose(
+                np.asarray(dtraj.value(t)),
+                np.asarray(traj.derivative_value(t)), atol=1e-12)
+        # second derivative via chaining
+        ddtraj = dtraj.derivative()
+        np.testing.assert_allclose(
+            np.asarray(ddtraj.value(1.7)),
+            np.asarray(traj.derivative_value(1.7, order=2)), atol=1e-12)
