@@ -70,6 +70,7 @@ def main():
     from iiwa_push_mpc import build_world
 
     from drake_tpu.contact import plant as cplant
+    from drake_tpu.contact import sap
     from drake_tpu.control import mpc
     from drake_tpu.models import iiwa
     from drake_tpu.multibody import dynamics as dyn
@@ -82,6 +83,13 @@ def main():
     nq, nv = model.num_positions, model.num_velocities
     h = 0.04
     dsys = cplant.make_discrete_system(model, params, scene, h)
+    # Planning dynamics: fixed-4-iteration scan SAP (no while_loop, so
+    # vmapped lanes don't lock-step to the slowest lane); the state advance
+    # keeps the fully converged solver.
+    sp_plan = sap.SapParameters(unroll_iterations=4, line_search_points=12)
+    dsys_plan = cplant.make_discrete_system(
+        model, params, scene, h, sap_params=sp_plan
+    )
 
     q_arm = iiwa.home_position(dtype)
     q0 = jnp.concatenate(
@@ -117,16 +125,27 @@ def main():
         return 400.0 * jnp.sum((x[nq - 3 : nq - 1] - box_goal) ** 2)
 
     horizon = 12
-    batch = 256 if not on_cpu else 4
-    mpc_steps = 10 if not on_cpu else 3
+    batch = 1024 if not on_cpu else 4
+    mpc_steps = 20 if not on_cpu else 3
     us0 = jnp.tile(tau_g[None], (horizon, 1))
     lim = jnp.asarray(iiwa.EFFORT_LIMITS, dtype)
 
+    # Real-time-iteration schedule (round-2 sweep winner, 998 solves/s):
+    # a heavy 4-iteration/3-alpha cold-start solve plans; warm-started fused
+    # RTI steps (ilqr.rti_solve: one always-accept Newton step with a free
+    # monotonicity guard) track it each period.
+    first_options = ilqr.IlqrOptions(
+        max_iters=4, use_jacrev=True, alphas=(1.0, 0.25, 0.03)
+    )
+    light_options = ilqr.IlqrOptions(use_jacrev=True, rti=True)
+
     def scenario(x):
         return mpc.ilqr_mpc_rollout(
-            dsys.g, running_cost, final_cost, params, x, us0, mpc_steps,
+            dsys_plan.g, running_cost, final_cost, params, x, us0, mpc_steps,
             dt=h, u_lower=-lim, u_upper=lim,
-            options=ilqr.IlqrOptions(max_iters=3, use_jacrev=True),
+            options=light_options,
+            sim_dynamics=dsys.g,
+            first_options=first_options,
         )
 
     key = jax.random.PRNGKey(0)
