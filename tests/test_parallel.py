@@ -65,7 +65,10 @@ class TestShardedRollouts:
     def test_shard_map_psum_statistics(self, mesh):
         """Cross-scenario reductions via psum under shard_map — the KKT/
         statistics-reduction pattern of the MPC harness."""
-        from jax.experimental.shard_map import shard_map
+        try:  # jax >= 0.8
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
 
         system = quadrotor.make_system(quadrotor.default_params(F32))
         params = system.default_params
