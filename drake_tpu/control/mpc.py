@@ -173,6 +173,12 @@ def ilqr_mpc_rollout(
         )
         u_apply = res.us[0]
         x_next = sim_dynamics(params, x, u_apply, t)
+        # Lane freeze: if this scenario's plant diverged (f32 blow-up on an
+        # extreme rollout), hold its state instead of propagating NaN — one
+        # bad vmapped lane must not poison batch statistics (the
+        # SapSolverStats failure-containment role).
+        ok = jnp.all(jnp.isfinite(x_next))
+        x_next = jnp.where(ok, x_next, x)
         # Warm start: shift the plan one step, repeat the last input.
         us_next = jnp.concatenate([res.us[1:], res.us[-1:]], axis=0)
         return x_next, us_next, u_apply, res
