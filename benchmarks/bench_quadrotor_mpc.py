@@ -35,7 +35,7 @@ def main():
     dtype = jnp.float32
     cpu = _harness.on_cpu()
     batch = 8 if cpu else 512
-    steps = 3 if cpu else 25
+    steps = 3 if cpu else 60
 
     system = quadrotor.make_system(quadrotor.default_params(dtype))
     params = system.default_params
@@ -81,7 +81,7 @@ def main():
 
     init_err = jnp.linalg.norm(x0s[:, :3] - x_goal[:3], axis=1)
     final_err = jnp.linalg.norm(res.xs[:, -1, :3] - x_goal[:3], axis=1)
-    n_ok = int(jnp.sum(final_err < 0.8 * init_err))
+    n_ok = int(jnp.sum(final_err < 0.5 * init_err))
 
     _harness.emit(
         "quadrotor obstacle MPC solves/s/chip (horizon=30, "
