@@ -271,6 +271,21 @@ class Expression:
 
     def __mul__(self, other):
         other = to_expression(other)
+        # constant * ADD distributes (keeps sums canonical: without this,
+        # -1.0 * (c0 + sum c_i t_i) becomes an opaque MUL base and every
+        # later Expand/Polynomial pass sees a non-canonical term)
+        if self.kind == _CONST and other.kind == _ADD:
+            k = self.payload
+            oc0, items = other.payload
+            return Expression._add(
+                k * oc0, {t: k * c for t, c in items}
+            )
+        if other.kind == _CONST and self.kind == _ADD:
+            k = other.payload
+            sc0, items = self.payload
+            return Expression._add(
+                k * sc0, {t: k * c for t, c in items}
+            )
         c0, bases = 1.0, {}
 
         def absorb(e):
@@ -743,10 +758,18 @@ def _to_monomial(term: Expression, inds) -> Tuple[Monomial, float]:
         c0, items = term.payload
         powers = {}
         for b, p in items:
+            if b.kind == _MUL and p == round(p) and p >= 1:
+                # nested product (e.g. -1.0 * (-1.0 * s) from an unexpanded
+                # constant-times-term): fold it in recursively
+                m_in, c_in = _to_monomial(b, inds)
+                for v, pw in m_in.powers:
+                    powers[v] = powers.get(v, 0) + pw * int(p)
+                c0 = c0 * (c_in ** int(p))
+                continue
             if b.kind != _VAR or p != round(p) or p < 0:
                 raise ValueError(f"not a polynomial term: {term!r}")
             if b.payload in inds:
-                powers[b.payload] = int(p)
+                powers[b.payload] = powers.get(b.payload, 0) + int(p)
             else:
                 raise ValueError(
                     f"variable {b.payload!r} is not an indeterminate")
