@@ -117,7 +117,21 @@ def _ruiz_equilibrate(P, q, G, b, lb, ub, sweeps: int):
 def solve_qp_ipm(
     P, q, G, b, lb, ub, options: IpmOptions = IpmOptions()
 ) -> IpmSolution:
-    """Solve the box/equality QP.  jit/vmap friendly; all shapes static."""
+    """Solve the box/equality QP.  jit/vmap friendly; all shapes static.
+
+    Traced under full-f32 matmul precision: TPU's default reduced-precision
+    (bf16-pass) matmuls cannot reach the ~1e-8 complementarity residuals
+    this solver asks for — the round-1 "0/32 feasible f32 dircol on TPU"
+    failure was partly this.  Physics/MPC paths keep the fast default; only
+    the NLP/QP stack pays for exactness.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _solve_qp_ipm_impl(P, q, G, b, lb, ub, options)
+
+
+def _solve_qp_ipm_impl(
+    P, q, G, b, lb, ub, options: IpmOptions = IpmOptions()
+) -> IpmSolution:
     opts = options
     if opts.equilibrate:
         Ps, qs, Gs, bs, lbs, ubs, d_s, e_s, c_s = _ruiz_equilibrate(

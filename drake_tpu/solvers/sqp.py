@@ -94,7 +94,25 @@ def solve(
     options: SqpOptions = SqpOptions(),
     args: Any = (),
 ) -> SqpResult:
-    """Solve min f(z, *args) s.t. c(z, *args) = 0, lb <= z <= ub."""
+    """Solve min f(z, *args) s.t. c(z, *args) = 0, lb <= z <= ub.
+
+    Traced under full-f32 matmul precision (see solve_qp_ipm): the QP
+    subproblem data (Lagrangian Hessians, Jacobian products) must be exact
+    f32 or TPU's reduced-precision matmuls stall the f32 SQP.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(cost_fn, constraint_fn, z0, lb, ub, options, args)
+
+
+def _solve_impl(
+    cost_fn: Callable,
+    constraint_fn: Callable,
+    z0: jnp.ndarray,
+    lb: Optional[jnp.ndarray] = None,
+    ub: Optional[jnp.ndarray] = None,
+    options: SqpOptions = SqpOptions(),
+    args: Any = (),
+) -> SqpResult:
     opts = options
     dtype = z0.dtype
     n = z0.shape[0]
