@@ -95,3 +95,49 @@ def record_rollout(
             )
     viz.set_animation(anim)
     return anim
+
+
+def inertia_ellipsoid(mass: float, inertia_com: np.ndarray):
+    """Equivalent solid ellipsoid of a rotational inertia about the com.
+
+    The reference's InertiaVisualizer (visualization/inertia_visualizer.h
+    CalcInertiaGeometry): find the uniform-density solid ellipsoid with the
+    same mass and principal moments.  For a solid ellipsoid with semi-axes
+    (a, b, c): Ixx = m (b^2 + c^2)/5 etc., so
+        a = sqrt(2.5 (Iyy + Izz - Ixx) / m)   (and cyclic).
+
+    Returns (semi_axes (3,), R (3,3) principal-axes rotation).
+    """
+    I = 0.5 * (np.asarray(inertia_com, float)
+               + np.asarray(inertia_com, float).T)
+    evals, evecs = np.linalg.eigh(I)
+    if np.linalg.det(evecs) < 0:
+        evecs[:, 2] = -evecs[:, 2]
+    Ixx, Iyy, Izz = evals
+    m = max(float(mass), 1e-12)
+    a2 = max(2.5 * (Iyy + Izz - Ixx) / m, 1e-12)
+    b2 = max(2.5 * (Izz + Ixx - Iyy) / m, 1e-12)
+    c2 = max(2.5 * (Ixx + Iyy - Izz) / m, 1e-12)
+    return np.sqrt([a2, b2, c2]), evecs
+
+
+def add_inertia_visualization(
+    viz: Meshcat, model, params, prefix: str = "inertia",
+    color: int = 0x00FF00,
+) -> None:
+    """Publish each body's equivalent inertia ellipsoid (AddDefaultVisualization's
+    inertia layer).  Ellipsoids are drawn as scaled spheres at the body com
+    in the body frame; drive them with the same per-body transforms as the
+    plant geometry (publish_state with this prefix)."""
+    mass = np.asarray(params.mass)
+    com = np.asarray(params.com)
+    inertia = np.asarray(params.inertia_com)
+    for body in range(model.num_bodies):
+        if mass[body] <= 0:
+            continue
+        semi, R_BE = inertia_ellipsoid(mass[body], inertia[body])
+        path = f"{prefix}/body{body}/ellipsoid"
+        viz.set_object(
+            path, sh.Sphere(1.0), color=color, opacity=0.35,
+            R=R_BE @ np.diag(semi), p=com[body],
+        )

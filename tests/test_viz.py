@@ -319,3 +319,51 @@ class TestVisualizationWiring:
         html = m.static_html()
         assert "set_animation" in str(mp.unpackb(m._animation)["type"])
         assert len(html) > 1000
+
+
+class TestInertiaVisualizer:
+    """visualization/inertia_visualizer.h CalcInertiaGeometry role."""
+
+    def test_solid_sphere_round_trip(self):
+        from drake_tpu.viz.visualization import inertia_ellipsoid
+
+        m, r = 2.0, 0.3
+        I = np.eye(3) * 0.4 * m * r * r
+        semi, R = inertia_ellipsoid(m, I)
+        np.testing.assert_allclose(semi, [r, r, r], rtol=1e-9)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+
+    def test_solid_box_round_trip(self):
+        from drake_tpu.viz.visualization import inertia_ellipsoid
+
+        # solid box with half-extents (a, b, c): Ixx = m (b^2+c^2)/3 ->
+        # equivalent ellipsoid semi-axes sqrt(5/3) * half-extents
+        m = 1.5
+        h = np.array([0.1, 0.2, 0.3])
+        Ixx = m * (h[1] ** 2 + h[2] ** 2) / 3
+        Iyy = m * (h[2] ** 2 + h[0] ** 2) / 3
+        Izz = m * (h[0] ** 2 + h[1] ** 2) / 3
+        semi, R = inertia_ellipsoid(m, np.diag([Ixx, Iyy, Izz]))
+        # eigh sorts the moments, so the axes come back permuted — but the
+        # permutation is recorded in R; compare as sets and check pairing
+        np.testing.assert_allclose(
+            sorted(semi), sorted(np.sqrt(5.0 / 3.0) * h), rtol=1e-9)
+        # the ellipsoid's inertia in the body frame reproduces the input:
+        # I_body = R I_principal R^T with I_principal from the semi-axes
+        a2 = semi**2
+        Ip = m / 5.0 * np.diag([a2[1] + a2[2], a2[2] + a2[0], a2[0] + a2[1]])
+        np.testing.assert_allclose(
+            R @ Ip @ R.T, np.diag([Ixx, Iyy, Izz]), atol=1e-12)
+
+    def test_publish_smoke(self):
+        from drake_tpu.multibody.model import ModelBuilder
+        from drake_tpu.viz.meshcat import Meshcat
+        from drake_tpu.viz.visualization import add_inertia_visualization
+
+        b = ModelBuilder()
+        b.add_body("b1", parent=None, joint_type="revolute", mass=1.0,
+                   inertia_com=np.diag([0.1, 0.2, 0.25]))
+        model, params = b.build(jnp.float64)
+        viz = Meshcat(start_server=False)
+        add_inertia_visualization(viz, model, params)
+        assert any("inertia/body0" in p for p in viz.scene_paths())
