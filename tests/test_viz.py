@@ -356,6 +356,8 @@ class TestInertiaVisualizer:
             R @ Ip @ R.T, np.diag([Ixx, Iyy, Izz]), atol=1e-12)
 
     def test_publish_smoke(self):
+        import jax.numpy as jnp
+
         from drake_tpu.multibody.model import ModelBuilder
         from drake_tpu.viz.meshcat import Meshcat
         from drake_tpu.viz.visualization import add_inertia_visualization
@@ -366,4 +368,4 @@ class TestInertiaVisualizer:
         model, params = b.build(jnp.float64)
         viz = Meshcat(start_server=False)
         add_inertia_visualization(viz, model, params)
-        assert any("inertia/body0" in p for p in viz.scene_paths())
+        assert any("inertia/body0" in p for p in viz._objects)
