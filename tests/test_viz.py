@@ -366,6 +366,6 @@ class TestInertiaVisualizer:
         b.add_body("b1", parent=None, joint_type="revolute", mass=1.0,
                    inertia_com=np.diag([0.1, 0.2, 0.25]))
         model, params = b.build(jnp.float64)
-        viz = Meshcat(start_server=False)
+        viz = Meshcat()
         add_inertia_visualization(viz, model, params)
         assert any("inertia/body0" in p for p in viz._objects)
