@@ -64,7 +64,13 @@ class MpmConfig:
 
     def capacities_for(self, num_particles: int, particles_per_cell: int = 8):
         """Config copy with capacities sized for `num_particles` (assumes
-        near-dense seeding at `particles_per_cell`)."""
+        near-dense seeding at `particles_per_cell`).
+
+        block_capacity gets 25% headroom over the dense 64-cells-per-block
+        count: the quadratic-B-spline base cell is floor(x/dx - 0.5), so
+        particles in the lowest half-cell of a block scatter into the
+        PREVIOUS block — dense seedings measure up to ~530 particles in a
+        512-dense block (dropped-particle audit at 133k particles)."""
         import dataclasses as _dc
 
         blocks_needed = max(64, 2 * num_particles // (64 * particles_per_cell // 8))
@@ -72,7 +78,12 @@ class MpmConfig:
         a = 1
         while a < blocks_needed:
             a *= 2
-        return _dc.replace(self, max_active_blocks=min(a, 8192))
+        dense = 64 * particles_per_cell
+        cap = ((dense + dense // 4 + 127) // 128) * 128
+        return _dc.replace(
+            self, max_active_blocks=min(a, 8192),
+            block_capacity=max(cap, self.block_capacity),
+        )
 
     @property
     def lame(self):
