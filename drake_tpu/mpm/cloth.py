@@ -144,6 +144,28 @@ def make_grid_cloth(
     )
 
 
+def merge_cloths(*cloths: ClothState) -> ClothState:
+    """Concatenate cloth patches into one state (face indices re-offset).
+
+    The reference registers each cloth separately (deformable_model.h:68
+    RegisterMpmCloth, called once per cloth in mpm_three_clothes.cc) and the
+    grid handles their mutual contact; here the same effect comes from one
+    merged particle set sharing the background grid.
+    """
+    offsets = np.cumsum([0] + [c.x.shape[0] for c in cloths[:-1]])
+    return ClothState(
+        x=jnp.concatenate([c.x for c in cloths]),
+        v=jnp.concatenate([c.v for c in cloths]),
+        C=jnp.concatenate([c.C for c in cloths]),
+        mass=jnp.concatenate([c.mass for c in cloths]),
+        faces=jnp.concatenate(
+            [c.faces + int(o) for c, o in zip(cloths, offsets)]
+        ),
+        Dm_inv=jnp.concatenate([c.Dm_inv for c in cloths]),
+        area=jnp.concatenate([c.area for c in cloths]),
+    )
+
+
 def face_deformation(x, faces, Dm_inv):
     """F (nf, 3, 2): world tangent matrix times rest inverse."""
     p = x[faces]  # (nf, 3, 3)
