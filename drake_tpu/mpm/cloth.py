@@ -107,6 +107,19 @@ def make_grid_cloth(
             faces.append([a, b, c])
             faces.append([b, d, c])
     faces = np.asarray(faces, np.int32)
+    return make_cloth_from_mesh(config, pts, faces, dtype)
+
+
+def make_cloth_from_mesh(
+    config: ClothConfig, pts, faces, dtype=jnp.float32
+) -> ClothState:
+    """Register an arbitrary triangle mesh as a cloth (RegisterMpmCloth,
+    deformable_model.h:68 — the reference takes raw verts/faces too).
+
+    Computes the rest tangent basis, rest areas and lumped vertex masses.
+    """
+    pts = np.asarray(pts, np.float64)
+    faces = np.asarray(faces, np.int32)
 
     # Rest tangent basis per face (2D in the face plane).
     p = pts[faces]

@@ -281,6 +281,63 @@ class StaticEquilibriumProblem:
 
 
 # ---------------------------------------------------------------------------
+# Manipulator-equation constraint + contact wrench evaluation.
+# ---------------------------------------------------------------------------
+
+
+def manipulator_equation_residual(
+    model, params, scene, q, v, vdot, f_contact, tau_actuation=None
+):
+    """Residual (nv,) of the manipulator equations with explicit contact
+    forces (manipulator_equation_constraint.h role):
+
+        M(q) vdot + C(q, v) - B u - sum_c Jc(q)' f_c  =  0
+
+    f_contact: (nc, 3) per-contact forces in the contact frame (t1, t2, n),
+    acting on body A.  Used as a trajopt equality row so the optimizer
+    co-decides (q, v, vdot, u, f) — the reference evaluates the same
+    expression with AutoDiffXd; here jax.grad supplies exact derivatives."""
+    nv = model.num_velocities
+    dtype = q.dtype
+    M = dyn.mass_matrix(model, params, q)
+    bias = dyn.bias_forces(model, params, q, v)
+    contact = scene.query(model, params, q)
+    tau_c = jnp.zeros(nv, dtype)
+    if contact.phi.shape[0]:
+        frames = []
+        for c in range(contact.phi.shape[0]):
+            t1, t2 = _tangent_basis(contact.n_W[c])
+            frames.append(jnp.stack([t1, t2, contact.n_W[c]], axis=1))
+        J = sap.make_contact_jacobian(model, params, q, contact, frames)
+        tau_c = jnp.einsum("cij,ci->j", J, f_contact)
+    tau_a = jnp.zeros(nv, dtype) if tau_actuation is None else tau_actuation
+    return M @ vdot + bias - tau_a - tau_c
+
+
+def contact_wrench_on_body(model, params, scene, q, f_contact, body: int):
+    """Spatial wrench (6,) = [torque; force] that the contact set applies to
+    ``body``, about the world origin (contact_wrench_evaluator.h role).
+
+    f_contact: (nc, 3) contact-frame forces on body A of each pair; body B
+    receives the reaction."""
+    contact = scene.query(model, params, q)
+    dtype = q.dtype
+    w = jnp.zeros(6, dtype)
+    for c in range(contact.phi.shape[0]):
+        t1, t2 = _tangent_basis(contact.n_W[c])
+        F = jnp.stack([t1, t2, contact.n_W[c]], axis=1)  # frame cols
+        f_W = F @ f_contact[c]
+        sign = jnp.asarray(
+            (1.0 if contact.body_a[c] == body else 0.0)
+            - (1.0 if contact.body_b[c] == body else 0.0),
+            dtype,
+        )
+        tau = jnp.cross(contact.p_W[c], f_W)
+        w = w + sign * jnp.concatenate([tau, f_W])
+    return w
+
+
+# ---------------------------------------------------------------------------
 # Sliding-friction complementarity.
 # ---------------------------------------------------------------------------
 

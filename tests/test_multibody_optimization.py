@@ -158,3 +158,60 @@ class TestSlidingFrictionComplementarity:
         )
         # complementarity rows (last 3) must be violated
         assert float(jnp.linalg.norm(r[-3:])) > 0.1
+
+
+class TestManipulatorEquation:
+    def _world(self):
+        b = ModelBuilder(gravity=(0.0, 0.0, -9.81))
+        b.add_body(
+            "box", parent=None, joint_type=PRISMATIC, axis=(0, 0, 1),
+            mass=2.0, inertia_com=np.eye(3) * 2e-3,
+        )
+        model, params = b.build(F64)
+        geoms = [
+            CollisionGeometry(name="ground", body=-1, shape=sh.HalfSpace(),
+                              friction=0.5),
+            CollisionGeometry(name="box", body=0,
+                              shape=sh.Box((0.1, 0.1, 0.1)),
+                              friction=0.5, stiffness=1e6, dissipation=0.1),
+        ]
+        return model, params, CollisionScene.build(geoms)
+
+    def test_rest_balance(self):
+        """At rest with the weight carried by the contacts, vdot = 0."""
+        model, params, scene = self._world()
+        q = jnp.asarray([0.1], F64)
+        v = jnp.zeros(1, F64)
+        contact = scene.query(model, params, q)
+        nc = contact.phi.shape[0]
+        f = jnp.tile(jnp.asarray([0.0, 0.0, 9.81 * 2.0 / nc], F64), (nc, 1))
+        r = mopt.manipulator_equation_residual(
+            model, params, scene, q, v, jnp.zeros(1, F64), f
+        )
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-9)
+
+    def test_free_fall_needs_gravity_acceleration(self):
+        """With zero contact force the residual vanishes iff vdot = -g."""
+        model, params, scene = self._world()
+        q = jnp.asarray([0.1], F64)
+        v = jnp.zeros(1, F64)
+        contact = scene.query(model, params, q)
+        f = jnp.zeros((contact.phi.shape[0], 3), F64)
+        r = mopt.manipulator_equation_residual(
+            model, params, scene, q, v, jnp.asarray([-9.81], F64), f
+        )
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-9)
+
+    def test_contact_wrench_totals_weight(self):
+        """The wrench the resting contact set applies to the box equals its
+        weight (force) with zero net moment about the symmetric patch."""
+        model, params, scene = self._world()
+        q = jnp.asarray([0.1], F64)
+        contact = scene.query(model, params, q)
+        nc = contact.phi.shape[0]
+        f = jnp.tile(jnp.asarray([0.0, 0.0, 9.81 * 2.0 / nc], F64), (nc, 1))
+        w = mopt.contact_wrench_on_body(model, params, scene, q, f, body=0)
+        np.testing.assert_allclose(float(w[5]), 9.81 * 2.0, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(w[3:5]), 0.0, atol=1e-12)
+        # Symmetric support patch centred on the box: zero x/y moment.
+        np.testing.assert_allclose(np.asarray(w[:2]), 0.0, atol=1e-9)
