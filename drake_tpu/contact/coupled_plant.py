@@ -60,6 +60,13 @@ class CoupledWorld:
     contact_model: str = "penalty"
     grid_contact_params: Optional[object] = None
     contact_query_frequency: int = 1
+    # Set to couple a codimensional cloth instead of volumetric particles:
+    # CoupledState.particles is then a mpm.cloth.ClothState and every
+    # substep applies the cloth's elastic vertex forces before P2G (the
+    # fork's CalcFemStateAndForce step in the substep loop, SURVEY §3.3;
+    # used by the bagging/folding demos where the cloth carries rigid
+    # bodies).
+    cloth_config: Optional[object] = None
 
     def rigid_geoms(self, params: MultibodyParams, q, v):
         """Current-pose RigidGeom descriptors for the coupled geometries."""
@@ -106,7 +113,23 @@ class CoupledWorld:
         h = self.time_step
 
         geoms = self.rigid_geoms(params, q, v)
-        if self.contact_model == "implicit":
+        if self.cloth_config is not None:
+            from drake_tpu.mpm import cloth as clothmod
+
+            def body(carry, _):
+                s, acc = carry
+                s, imp = clothmod.cloth_substep(
+                    self.mpm_config, self.cloth_config, s, geoms,
+                    self.contact_params,
+                )
+                return (s, acc + imp), None
+
+            acc0 = jnp.zeros((len(geoms), 6), q.dtype)
+            (particles, impulses), _ = jax.lax.scan(
+                body, (state.particles, acc0), None,
+                length=self.substeps_per_step,
+            )
+        elif self.contact_model == "implicit":
             from drake_tpu.mpm import grid_contact as gcmod
 
             gc_params = (

@@ -171,7 +171,14 @@ def ilqr_mpc_rollout(
             u_upper=u_upper,
             options=opts,
         )
-        u_apply = res.us[0]
+        # Solve-divergence guard: a lane whose SOLVE blew up (f32 NaN plan)
+        # must not poison its own future — apply the previous warm start's
+        # first input instead and keep the old plan, so the NEXT re-solve
+        # gets a finite starting point and the lane self-heals (round-2 fix:
+        # the earlier freeze held x but shifted the NaN plan into the warm
+        # start, permanently killing the lane).
+        ok_plan = jnp.all(jnp.isfinite(res.us))
+        u_apply = jnp.where(ok_plan, res.us[0], us_warm[0])
         x_next = sim_dynamics(params, x, u_apply, t)
         # Lane freeze: if this scenario's plant diverged (f32 blow-up on an
         # extreme rollout), hold its state instead of propagating NaN — one
@@ -180,7 +187,8 @@ def ilqr_mpc_rollout(
         ok = jnp.all(jnp.isfinite(x_next))
         x_next = jnp.where(ok, x_next, x)
         # Warm start: shift the plan one step, repeat the last input.
-        us_next = jnp.concatenate([res.us[1:], res.us[-1:]], axis=0)
+        us_shift = jnp.concatenate([res.us[1:], res.us[-1:]], axis=0)
+        us_next = jnp.where(ok_plan, us_shift, us_warm)
         return x_next, us_next, u_apply, res
 
     def step(carry, k):

@@ -167,3 +167,59 @@ class TestCoupledWorld:
         assert float(out.particles.x[:, 2].min()) > -0.01
         # The pile stays localized.
         assert float(out.particles.x[:, 2].max()) < 0.4
+
+    def test_cloth_coupled_world_weight_transfer(self):
+        """Cloth-coupled CoupledWorld (cloth_config set): a cloth patch
+        draped over a free rigid ball transfers weight — the ball receives
+        downward z-impulses and everything stays finite/bounded (the
+        bagging-demo mechanism, examples/mpm_bagging.py)."""
+        from drake_tpu.contact import coupled_plant
+        from drake_tpu.geometry.scene import CollisionGeometry, CollisionScene
+        from drake_tpu.mpm import cloth as clothmod
+        from drake_tpu.multibody.model import FLOATING, ModelBuilder
+
+        b = ModelBuilder()
+        m_ball, r_ball = 0.5, 0.1
+        b.add_body(
+            "ball", parent=None, joint_type=FLOATING, mass=m_ball,
+            inertia_com=np.eye(3) * 0.4 * m_ball * r_ball**2,
+        )
+        model, params = b.build(F32)
+        geoms = [
+            CollisionGeometry(name="ground", body=-1, shape=sh.HalfSpace(),
+                              friction=0.5),
+            CollisionGeometry(name="ball", body=0, shape=sh.Sphere(r_ball),
+                              friction=0.5, stiffness=1e6, dissipation=0.1),
+        ]
+        scene = CollisionScene.build(geoms)
+        grid = mpm.MpmConfig(
+            grid_size=(32, 32, 32), dx=1.0 / 32, dt=1e-4, wall_width=0
+        )
+        cfg = clothmod.ClothConfig()
+        sheet = clothmod.make_grid_cloth(
+            cfg, 10, 10, origin=(0.4, 0.4, 0.215), size=(0.2, 0.2)
+        )
+        world = coupled_plant.CoupledWorld(
+            model=model, scene=scene, mpm_config=grid,
+            contact_params=cpl.MpmContactParams(
+                stiffness=3e4, damping=30.0, friction=0.5
+            ),
+            coupled_geometries=(1,),
+            substeps_per_step=10, time_step=1e-3,
+            cloth_config=cfg,
+        )
+        q0 = jnp.asarray([1, 0, 0, 0, 0.5, 0.5, r_ball], F32)
+        state = coupled_plant.CoupledState(
+            rigid=jnp.concatenate([q0, jnp.zeros(6, F32)]),
+            particles=sheet,
+        )
+        out = jax.jit(lambda s: world.simulate(params, s, 150))(state)
+        assert bool(jnp.all(jnp.isfinite(out.rigid)))
+        assert bool(jnp.all(jnp.isfinite(out.particles.x)))
+        # Ball stays grounded under the cloth's weight (supported by the
+        # ground SAP contact), cloth drapes around/on the ball.
+        assert 0.05 < float(out.rigid[6]) < 0.15
+        z = out.particles.x[:, 2]
+        assert float(z.max()) < 0.35 and float(z.min()) > -0.01
+        # Cloth rests ON the ball: its top sits near the ball's crown.
+        assert float(z.max()) > 2 * r_ball - 0.05
