@@ -126,7 +126,10 @@ def main():
 
     horizon = 12
     batch = 1024 if not on_cpu else 4
-    mpc_steps = 20 if not on_cpu else 3
+    # 30 MPC steps: the round-2 frontier winner (1,084.6 solves/s measured,
+    # median err 0.135 — same tracking as 20 steps at +9% throughput; the
+    # full schedule frontier is tabulated in BASELINE.md).
+    mpc_steps = 30 if not on_cpu else 3
     us0 = jnp.tile(tau_g[None], (horizon, 1))
     lim = jnp.asarray(iiwa.EFFORT_LIMITS, dtype)
 

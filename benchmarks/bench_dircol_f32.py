@@ -34,6 +34,12 @@ parser.add_argument(
     help="per lane, also solve from the canonical straight-line guess and "
     "keep the lower-violation solution (the solve_global_ik multi-start "
     "pattern) — f32 Sl1QP stalls from some perturbed basins")
+parser.add_argument(
+    "--chunk", type=int, default=0,
+    help="split the batch into sequential jit calls of this size: the "
+    "tunneled TPU worker crashes on this program above ~16 vmapped solver "
+    "instances, so 32 scenarios run as e.g. 4 chunks of 8 (one compile, "
+    "reused; wall time sums over chunks)")
 args = parser.parse_args()
 
 import jax
@@ -127,19 +133,25 @@ def main():
                 lambda a, b: jnp.where(pick, a, b), sa, sb)
 
         solve = jax.jit(jax.vmap(solve2))
-        sol = solve(z0s, z_canon)
-        float(sol.xs.sum())
-        t0 = time.perf_counter()
-        sol = solve(z0s, z_canon)
-        float(sol.xs.sum())
-        wall = time.perf_counter() - t0
+        arrs = (z0s, z_canon)
     else:
-        sol = solve(z0s)
-        float(sol.xs.sum())  # host sync
-        t0 = time.perf_counter()
-        sol = solve(z0s)
-        float(sol.xs.sum())
-        wall = time.perf_counter() - t0
+        arrs = (z0s,)
+
+    c = args.chunk if args.chunk > 0 else batch
+    assert batch % c == 0, "batch must be a multiple of --chunk"
+    chunks = [tuple(a[i : i + c] for a in arrs) for i in range(0, batch, c)]
+
+    def run_all():
+        sols = [solve(*ch) for ch in chunks]
+        float(sols[-1].xs.sum())  # host sync
+        return jax.tree_util.tree_map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *sols
+        )
+
+    run_all()  # warm-up compile (one program, reused across chunks)
+    t0 = time.perf_counter()
+    sol = run_all()
+    wall = time.perf_counter() - t0
 
     viol = np.asarray(sol.constraint_violation)
     feasible = int(np.sum(viol < args.feas_tol))

@@ -106,3 +106,44 @@ class TestClothDynamics:
         assert float(out.x[:, 2].min()) < 0.4
         # Support force points down on the sphere.
         assert float(acc[0, 5]) < 0.0
+
+
+class TestMergeAndMesh:
+    def test_merge_preserves_energy_and_mass(self):
+        """merge_cloths is exactly the direct sum: total mass adds, elastic
+        energy of the merged (deformed) state equals the sum of parts."""
+        cfg = cloth.ClothConfig()
+        a = cloth.make_grid_cloth(cfg, 6, 6, origin=(0.2, 0.2, 0.5),
+                                  size=(0.2, 0.2))
+        b = cloth.make_grid_cloth(cfg, 5, 7, origin=(0.5, 0.4, 0.7),
+                                  size=(0.25, 0.3))
+        m = cloth.merge_cloths(a, b)
+        assert m.x.shape[0] == a.x.shape[0] + b.x.shape[0]
+        np.testing.assert_allclose(
+            float(m.mass.sum()), float(a.mass.sum() + b.mass.sum()),
+            rtol=1e-6)
+
+        def stretch(c, s):
+            return c.replace(x=c.x * jnp.asarray([s, 1.0, 1.0], F32))
+
+        ea = cloth.elastic_energy(cfg, stretch(a, 1.07).x, a.faces,
+                                  a.Dm_inv, a.area)
+        eb = cloth.elastic_energy(cfg, stretch(b, 1.07).x, b.faces,
+                                  b.Dm_inv, b.area)
+        em = cloth.elastic_energy(cfg, stretch(m, 1.07).x, m.faces,
+                                  m.Dm_inv, m.area)
+        np.testing.assert_allclose(float(em), float(ea + eb), rtol=1e-5)
+
+    def test_mesh_cloth_matches_grid_cloth(self):
+        """make_cloth_from_mesh on the grid's own verts/faces reproduces
+        make_grid_cloth exactly (the refactor is behavior-preserving)."""
+        cfg = cloth.ClothConfig()
+        g = cloth.make_grid_cloth(cfg, 7, 7, origin=(0.3, 0.3, 0.6),
+                                  size=(0.4, 0.4))
+        m = cloth.make_cloth_from_mesh(cfg, np.asarray(g.x),
+                                       np.asarray(g.faces))
+        np.testing.assert_array_equal(np.asarray(g.faces), np.asarray(m.faces))
+        np.testing.assert_allclose(np.asarray(g.mass), np.asarray(m.mass),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g.Dm_inv), np.asarray(m.Dm_inv),
+                                   rtol=1e-5)
