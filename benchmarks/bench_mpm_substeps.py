@@ -52,8 +52,9 @@ def main():
     lo = (0.5 - half, 0.5 - half, cz - half)
     hi = (0.5 + half, 0.5 + half, cz + half)
     state = mpm.make_particle_block(config, lo, hi)
-    if args.scale != 1.0:
-        config = config.capacities_for(state.x.shape[0])
+    # Size the active-block capacity for the scene (P2G cost is linear in
+    # this capacity — see capacities_for and benchmarks/profile_mpm.py).
+    config = config.capacities_for(state.x.shape[0])
     n_sub = args.substeps or (10 if cpu else 50)
     substep = mpm.mpm_substep_blocked if args.fused else mpm.mpm_substep
 

@@ -70,10 +70,19 @@ class MpmConfig:
         count: the quadratic-B-spline base cell is floor(x/dx - 0.5), so
         particles in the lowest half-cell of a block scatter into the
         PREVIOUS block — dense seedings measure up to ~530 particles in a
-        512-dense block (dropped-particle audit at 133k particles)."""
+        512-dense block (dropped-particle audit at 133k particles).
+
+        max_active_blocks = 4x the dense occupied-block count (occupied
+        = num_particles / (64 cells * particles_per_cell); the 4x covers
+        base-cell shift spill plus irregular shapes).  The P2G block
+        matmul + DMA cost is LINEAR in this capacity, so oversizing is
+        pure slowdown: the round-2 profile at 133k particles measured
+        190 ms/substep at A=8192 vs 63 ms at A=512 with zero dropped
+        (benchmarks/profile_mpm.py)."""
         import dataclasses as _dc
 
-        blocks_needed = max(64, 2 * num_particles // (64 * particles_per_cell // 8))
+        dense_blocks = num_particles // (64 * particles_per_cell)
+        blocks_needed = max(64, 4 * dense_blocks)
         # Round up to a power of two for stable compile caching.
         a = 1
         while a < blocks_needed:
