@@ -165,3 +165,56 @@ class TestWsgDriver:
         f = ctrl.force(width=0.1, width_rate=0.0, target_width=0.0,
                        force_limit=5.0)
         assert f == -5.0  # clamped to the grip force limit
+
+
+class TestJacoDriver:
+    """kinova_jaco round-trip with the SDK<->URDF finger scaling
+    (jaco_constants.h kFingerSdkToUrdf; jaco_command_receiver_test.cc
+    pattern)."""
+
+    def test_command_round_trip_and_latch(self):
+        from drake_tpu.manipulation import jaco_driver as jd
+
+        node = PubSub("memq://jaco1")
+        tx = jd.JacoCommandSender(node)
+        hold = np.linspace(0.1, 0.7, 7)
+        rx = jd.JacoCommandReceiver(node, hold_position=hold)
+        # Latch-before-first-message: hold position, zero fingers.
+        cmd = rx.latest(node)
+        np.testing.assert_array_equal(cmd.joint_position, hold)
+        np.testing.assert_array_equal(cmd.finger_position, np.zeros(3))
+
+        q = np.linspace(-1, 1, 7)
+        fingers = np.asarray([0.3, 0.5, 0.7])
+        tx.send(jd.JacoCommand(
+            utime=77, joint_position=q, joint_velocity=np.zeros(7),
+            finger_position=fingers, finger_velocity=np.zeros(3)))
+        cmd = rx.latest(node)
+        assert cmd.utime == 77
+        np.testing.assert_allclose(cmd.joint_position, q)
+        # Finger values survive the SDK wire scaling exactly.
+        np.testing.assert_allclose(cmd.finger_position, fingers, rtol=1e-12)
+        node.close()
+
+    def test_status_round_trip(self):
+        from drake_tpu.manipulation import jaco_driver as jd
+
+        node = PubSub("memq://jaco2")
+        tx = jd.JacoStatusSender(node)
+        rx = jd.JacoStatusReceiver(node)
+        assert rx.latest(node) is None
+        st = jd.JacoStatus(
+            utime=5, joint_position=np.arange(7.0),
+            joint_velocity=0.1 * np.arange(7.0),
+            joint_torque=np.ones(7), joint_torque_external=np.zeros(7),
+            joint_current=np.full(7, 2.0),
+            finger_position=np.asarray([0.1, 0.2, 0.3]),
+            finger_velocity=np.asarray([0.0, 0.0, 0.1]),
+        )
+        tx.send(st)
+        got = rx.latest(node)
+        assert got.utime == 5
+        np.testing.assert_allclose(got.joint_position, st.joint_position)
+        np.testing.assert_allclose(got.finger_position, st.finger_position,
+                                   rtol=1e-12)
+        node.close()
