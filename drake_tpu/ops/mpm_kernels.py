@@ -272,7 +272,7 @@ if _HAS_PALLAS:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(A,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (1, P2G_NV, P2G_NODES_PAD), lambda a, *_: (a, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -577,7 +577,7 @@ if _HAS_PALLAS:
             num_scalar_prefetch=3,
             grid=(A,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
                     (1, 216, 128), lambda a, *_: (a, 0, 0),
                     memory_space=pltpu.VMEM,

@@ -202,7 +202,7 @@ class TestBlockedSubstep:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3, grid=(A,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, 216, 128), lambda a, *_: (a, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
