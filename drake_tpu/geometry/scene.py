@@ -159,9 +159,9 @@ class CollisionScene:
             k, d, mu = _combine_materials(ga, gb)
             hp = _hydro_pair(ga, gb)
             if hp is not None:
-                # Compliant-vs-rigid: per-point stiffness is the modulus
-                # scaled by the quadrature k_scale = A_i / R.
-                k = hp[0].hydroelastic_modulus
+                # Per-point stiffness is the (combined) modulus scaled by
+                # the quadrature k_scale = A_i / length.
+                k = _hydro_modulus(*hp)
             for entry in contacts:
                 phi, p_W, n_W = entry[:3]
                 k_scale = entry[3] if len(entry) == 4 else 1.0
@@ -218,27 +218,54 @@ def _contacts_per_pair(ga: CollisionGeometry, gb: CollisionGeometry) -> int:
     if _hydro_pair(ga, gb) is not None:
         g_soft, _ = _hydro_pair(ga, gb)
         r = g_soft.hydro_rings
+        if isinstance(g_soft.shape, sh.Box):
+            return 6 * (r + 1) ** 2  # (r+1)^2 grid per face
         return 1 + 3 * r * (r + 1)  # 1 + 6 + 12 + ... hex rings
     return table[frozenset(kinds)]
 
 
 def _hydro_pair(ga, gb):
-    """(compliant_sphere_geom, halfspace_geom) if this pair renders a
-    hydroelastic patch, else None."""
+    """(g_soft, g_other) if this pair renders a hydroelastic patch.
+
+    Supported patch pairs (quadrature stand-ins for the reference's
+    marching contact-surface meshes, geometry/proximity/
+    mesh_intersection.h): compliant Sphere or Box vs HalfSpace, and
+    Sphere vs Sphere with either sphere compliant (the patch lives on
+    the softer sphere)."""
     a, b = ga.shape, gb.shape
-    if (
-        ga.hydroelastic_modulus is not None
-        and isinstance(a, sh.Sphere)
-        and isinstance(b, sh.HalfSpace)
-    ):
-        return ga, gb
-    if (
-        gb.hydroelastic_modulus is not None
-        and isinstance(b, sh.Sphere)
-        and isinstance(a, sh.HalfSpace)
-    ):
-        return gb, ga
+
+    def soft(g):
+        return g.hydroelastic_modulus is not None
+
+    for g1, g2 in ((ga, gb), (gb, ga)):
+        if (
+            soft(g1)
+            and isinstance(g1.shape, (sh.Sphere, sh.Box))
+            and isinstance(g2.shape, sh.HalfSpace)
+        ):
+            return g1, g2
+    if isinstance(a, sh.Sphere) and isinstance(b, sh.Sphere):
+        if soft(ga) and soft(gb):
+            return (
+                (ga, gb)
+                if ga.hydroelastic_modulus <= gb.hydroelastic_modulus
+                else (gb, ga)
+            )
+        if soft(ga):
+            return ga, gb
+        if soft(gb):
+            return gb, ga
     return None
+
+
+def _hydro_modulus(g_soft, g_other) -> float:
+    """Combined modulus: series combination when both are compliant (the
+    reference's compliant-compliant pressure-field equilibrium)."""
+    Ea = g_soft.hydroelastic_modulus
+    Eb = g_other.hydroelastic_modulus
+    if Eb is None:
+        return Ea
+    return Ea * Eb / (Ea + Eb)
 
 
 def _hydro_sphere_halfspace(g_soft, c, Rh, ph, dtype):
@@ -283,6 +310,78 @@ def _hydro_sphere_halfspace(g_soft, c, Rh, ph, dtype):
     return out
 
 
+def _hydro_box_halfspace(g_soft, Rbox, pbox, Rh, ph, dtype):
+    """Quadrature patch over the compliant box's surface: an n x n grid of
+    cell centers on each of the 6 faces, n = hydro_rings + 1.  Per-point
+    k_scale = A_cell / h_k with h_k the half-extent along the face normal:
+    the elastic-foundation pressure p = E * depth / h_k, i.e. the
+    reference's compliant-box pressure field rising linearly from the
+    surface toward the center plane (geometry/proximity hydroelastic
+    field semantics; quadrature instead of marching meshes).  Side-face
+    points only engage at deep penetration; a flat-resting box integrates
+    to the analytic foundation force E * A * d / h_k."""
+    half = [s / 2.0 for s in g_soft.shape.size]
+    n = g_soft.hydro_rings + 1
+    out = []
+    for axis in range(3):
+        i, j = (axis + 1) % 3, (axis + 2) % 3
+        A_cell = (2 * half[i]) * (2 * half[j]) / (n * n)
+        for sgn in (-1.0, 1.0):
+            for mi in range(n):
+                for mj in range(n):
+                    loc = [0.0, 0.0, 0.0]
+                    loc[axis] = sgn * half[axis]
+                    loc[i] = -half[i] + (mi + 0.5) * 2 * half[i] / n
+                    loc[j] = -half[j] + (mj + 0.5) * 2 * half[j] / n
+                    x = pbox + Rbox @ jnp.asarray(loc, dtype)
+                    phi, n_W = sh.halfspace_sdf_point(Rh, ph, x)
+                    out.append((phi, x, n_W, A_cell / half[axis]))
+    return out
+
+
+def _hydro_sphere_sphere(g_soft, c, g_other, c_o, dtype):
+    """Cap quadrature on the compliant (softer) sphere facing the other:
+    per-point phi against the other sphere's surface, patch normal = line
+    of centers (the pressure-field gradient direction for spheres), same
+    hex-ring layout and A_i / R weights as the sphere-halfspace patch."""
+    import math
+
+    r = g_soft.shape.radius
+    r_o = g_other.shape.radius
+    rings = g_soft.hydro_rings
+    d = c - c_o
+    n = d / jnp.maximum(jnp.linalg.norm(d), 1e-9)  # from other into soft
+    F = contact_frame(n)
+    t1, t2 = F[:, 0], F[:, 1]
+    alpha_max = math.pi / 4
+    denom = rings + 0.5
+    edges = [alpha_max * (j + 0.5) / denom for j in range(rings + 1)]
+    out = []
+    x0 = c - r * n
+    out.append((
+        jnp.linalg.norm(x0 - c_o) - r_o, x0, n,
+        2 * math.pi * r * r * (1 - math.cos(edges[0])) / r,
+    ))
+    for jr in range(1, rings + 1):
+        alpha = alpha_max * jr / denom
+        band = 2 * math.pi * r * r * (
+            math.cos(edges[jr - 1]) - math.cos(edges[jr])
+        )
+        npts = 6 * jr
+        for m in range(npts):
+            beta = 2 * math.pi * m / npts
+            dv = (
+                -n * math.cos(alpha)
+                + (t1 * math.cos(beta) + t2 * math.sin(beta))
+                * math.sin(alpha)
+            )
+            x = c + r * dv
+            out.append((
+                jnp.linalg.norm(x - c_o) - r_o, x, n, band / npts / r,
+            ))
+    return out
+
+
 def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
     """Returns a list of (phi, p_W, n_W[, k_scale]) with n_W pointing from
     B into A; optional k_scale multiplies the pair's combined stiffness."""
@@ -290,11 +389,19 @@ def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
 
     hp = _hydro_pair(ga, gb)
     if hp is not None:
-        g_soft, g_half = hp
-        if g_soft is ga:
-            out = _hydro_sphere_halfspace(g_soft, pa, Rb, pb, dtype)
+        g_soft, g_other = hp
+        soft_first = g_soft is ga
+        R_s, p_s = (Ra, pa) if soft_first else (Rb, pb)
+        R_o, p_o = (Rb, pb) if soft_first else (Ra, pa)
+        if isinstance(g_soft.shape, sh.Box):
+            out = _hydro_box_halfspace(g_soft, R_s, p_s, R_o, p_o, dtype)
+        elif isinstance(g_other.shape, sh.HalfSpace):
+            out = _hydro_sphere_halfspace(g_soft, p_s, R_o, p_o, dtype)
         else:
-            out = _hydro_sphere_halfspace(g_soft, pb, Ra, pa, dtype)
+            out = _hydro_sphere_sphere(g_soft, p_s, g_other, p_o, dtype)
+        if not soft_first:
+            # Patch normals point from the other geometry INTO the soft
+            # one; the ContactData convention is from B into A.
             out = [(phi, p, -n, w) for (phi, p, n, w) in out]
         return out
     # Normalize the order so each handler sees a canonical (A, B).

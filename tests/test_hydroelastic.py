@@ -125,3 +125,140 @@ class TestHydroPlant:
             x2 = step2(x2)
         wz_pt = float(x2[7 + 2])
         assert wz_pt > 0.99 * w0  # point contact: spin survives
+
+
+class TestHydroBox:
+    """Compliant box on rigid ground: elastic-foundation pressure
+    p = E depth / h_z integrates to F = E A d / h_z for a flat-resting
+    box (A the bottom-face area, h_z the half-height)."""
+
+    SIZE = (0.2, 0.3, 0.1)
+
+    def _world(self, rings=1):
+        b = ModelBuilder()
+        b.add_body(
+            "box", parent=None, joint_type="floating", mass=1.0,
+            inertia_com=np.diag([3e-3, 2e-3, 4e-3]),
+        )
+        model, params = b.build(F64)
+        geoms = [
+            CollisionGeometry(
+                name="box", body=0, shape=sh.Box(self.SIZE),
+                friction=0.5, dissipation=0.1,
+                hydroelastic_modulus=E_MOD, hydro_rings=rings,
+            ),
+            CollisionGeometry(
+                name="ground", body=-1, shape=sh.HalfSpace(),
+                friction=0.5, stiffness=1e10, dissipation=0.1,
+            ),
+        ]
+        return model, params, CollisionScene.build(geoms)
+
+    def test_patch_count(self):
+        model, params, scene = self._world(rings=1)
+        assert scene.num_contacts == 6 * 4  # 2x2 grid per face
+
+    def test_flat_rest_force_is_exact(self):
+        model, params, scene = self._world(rings=2)
+        hz = self.SIZE[2] / 2
+        area = self.SIZE[0] * self.SIZE[1]
+        # Depths below hz/n keep the side-face points out of contact.
+        for d in (1e-3, 5e-3, 1e-2):
+            q = jnp.asarray([1, 0, 0, 0, 0.0, 0.0, hz - d], F64)
+            contact = scene.query(model, params, q)
+            pen = jnp.maximum(-contact.phi, 0.0)
+            F = float(jnp.sum(contact.stiffness * pen))
+            # Uniform depth over the bottom face: quadrature is EXACT.
+            np.testing.assert_allclose(
+                F, E_MOD * area * d / hz, rtol=1e-9, err_msg=str(d)
+            )
+
+    def test_settles_at_foundation_depth(self):
+        # A genuinely compliant modulus: with E = 2e5 the per-point
+        # foundation stiffness crosses SAP's near-rigid threshold
+        # (Rn_phys < beta^2 w / 4pi^2) and the solver legitimately
+        # treats the contact as rigid (one-step pushout) — exactly the
+        # reference's near-rigid clamp.  E = 2e4 stays compliant.
+        E_soft = 2e4
+        b = ModelBuilder()
+        b.add_body(
+            "box", parent=None, joint_type="floating", mass=1.0,
+            inertia_com=np.diag([3e-3, 2e-3, 4e-3]),
+        )
+        model, params = b.build(F64)
+        geoms = [
+            CollisionGeometry(
+                name="box", body=0, shape=sh.Box(self.SIZE),
+                friction=0.5, dissipation=0.1,
+                hydroelastic_modulus=E_soft, hydro_rings=1,
+            ),
+            CollisionGeometry(
+                name="ground", body=-1, shape=sh.HalfSpace(),
+                friction=0.5, stiffness=1e10, dissipation=0.1,
+            ),
+        ]
+        scene = CollisionScene.build(geoms)
+        hz = self.SIZE[2] / 2
+        area = self.SIZE[0] * self.SIZE[1]
+        dsys = cplant.make_discrete_system(model, params, scene, 1e-3)
+        x = model.default_state(F64).at[6].set(hz)  # just touching
+        step = jax.jit(lambda xx: dsys.g(params, xx, jnp.zeros(0, F64)))
+        for _ in range(1200):
+            x = step(x)
+        assert float(jnp.max(jnp.abs(x[7:]))) < 1e-4
+        d_star = float(hz - x[6])
+        d_exact = 1.0 * 9.81 * hz / (E_soft * area)
+        np.testing.assert_allclose(d_star, d_exact, rtol=0.2)
+
+
+class TestHydroSphereSphere:
+    """Compliant sphere pressed into a rigid sphere: the cap quadrature
+    must integrate to F = pi E d^2 r_o / (r + r_o) (-> pi E d^2 as
+    r_o -> inf, the halfspace law)."""
+
+    def _scene(self, E_other=None):
+        b = ModelBuilder()
+        b.add_body(
+            "ball", parent=None, joint_type="floating", mass=1.0,
+            inertia_com=np.eye(3) * (0.4 * R_SPH**2),
+        )
+        model, params = b.build(F64)
+        geoms = [
+            CollisionGeometry(
+                name="ball", body=0, shape=sh.Sphere(R_SPH),
+                friction=0.5, dissipation=0.05,
+                hydroelastic_modulus=E_MOD, hydro_rings=4,
+            ),
+            CollisionGeometry(
+                name="anchor", body=-1, shape=sh.Sphere(R_SPH),
+                p_BG=(0.0, 0.0, 0.0), friction=0.5, stiffness=1e10,
+                dissipation=0.05, hydroelastic_modulus=E_other,
+            ),
+        ]
+        return model, params, CollisionScene.build(geoms)
+
+    def test_patch_force_matches_analytic(self):
+        model, params, scene = self._scene()
+        assert scene.num_contacts == 1 + 6 + 12 + 18 + 24
+        for d in (0.01, 0.02, 0.03):
+            q = jnp.asarray([1, 0, 0, 0, 0.0, 0.0, 2 * R_SPH - d], F64)
+            contact = scene.query(model, params, q)
+            pen = jnp.maximum(-contact.phi, 0.0)
+            F = float(jnp.sum(contact.stiffness * pen))
+            F_exact = np.pi * E_MOD * d * d * 0.5  # r_o/(r+r_o) = 1/2
+            np.testing.assert_allclose(F, F_exact, rtol=0.15, err_msg=str(d))
+            # Patch normal = line of centers (vertical here).
+            np.testing.assert_allclose(
+                np.asarray(contact.n_W[:, 2]), 1.0, atol=1e-12
+            )
+
+    def test_compliant_compliant_combines_moduli(self):
+        model, params, soft_rigid = self._scene()
+        model2, params2, soft_soft = self._scene(E_other=E_MOD)
+        q = jnp.asarray([1, 0, 0, 0, 0.0, 0.0, 2 * R_SPH - 0.01], F64)
+        c1 = soft_rigid.query(model, params, q)
+        c2 = soft_soft.query(model2, params2, q)
+        F1 = float(jnp.sum(c1.stiffness * jnp.maximum(-c1.phi, 0)))
+        F2 = float(jnp.sum(c2.stiffness * jnp.maximum(-c2.phi, 0)))
+        # Series combination: equal moduli halve the effective stiffness.
+        np.testing.assert_allclose(F2, F1 / 2, rtol=1e-9)
