@@ -196,77 +196,109 @@ def p2g_block_matmul_reference(vals, lb, w, starts, counts, pmax: int):
 
 if _HAS_PALLAS:
 
-    def _onehot_weights(pk, pmax, valid):
-        """One-hot tensor-product B-spline weights W (pmax, 216) in VMEM.
+    def _double_buffered_window(
+        a, starts_ref, packed_hbm, buf, sems, *, pmax
+    ):
+        """Double-buffered dynamic DMA of the per-block particle window.
 
-        pk columns: 16:25 per-axis tap weights [wx0..2, wy0..2, wz0..2],
-        25:28 local base in 0..3 (stored as f32).  Built with 2-D ops only —
-        Mosaic rejects >2-D reshapes: W[p, (i*6+j)*6+k] = wx_i wy_j wz_k.
+        Program a computes on buf[a%2] while the DMA engine fills buf[(a+1)%2]
+        with the NEXT block's window — per-block DMA latency hides behind the
+        current block's compute (the CUDA pipeline gets the same overlap from
+        its warp scheduler for free; Mosaic needs it spelled out).  buf/sems
+        are grid-persistent scratch (TPU grids execute as a sequential loop on
+        one core).  Returns the current block's (pmax, 128) rows.
         """
-        l_range6 = jax.lax.broadcasted_iota(jnp.int32, (pmax, 6), 1)
+        nprog = pl.num_programs(0)
+        two = jnp.asarray(2, a.dtype) if hasattr(a, "dtype") else 2
+        slot = jax.lax.rem(a, two)
+        nxt = jax.lax.rem(a + 1, two)
 
-        def axis_onehot(axis):
-            lb_col = pk[:, 25 + axis : 26 + axis].astype(jnp.int32)
-            acc = jnp.zeros((pmax, 6), pk.dtype)
-            for t in range(3):
-                mask = l_range6 == (lb_col + t)
-                acc = acc + mask.astype(pk.dtype) * pk[
-                    :, 16 + 3 * axis + t : 17 + 3 * axis + t
-                ]
-            return acc
+        @pl.when(a == 0)
+        def _():
+            pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(starts_ref[0], pmax)], buf.at[0],
+                sems.at[0],
+            ).start()
 
-        wx = axis_onehot(0)
-        wy = axis_onehot(1)
-        wz = axis_onehot(2)
-        wxy = jnp.concatenate(
-            [wx[:, i : i + 1] * wy for i in range(6)], axis=1
-        )  # (pmax, 36)
-        return jnp.concatenate(
-            [wxy[:, m : m + 1] * wz for m in range(36)], axis=1
-        ) * valid  # (pmax, 216)
+        @pl.when(a + 1 < nprog)
+        def _():
+            pltpu.make_async_copy(
+                packed_hbm.at[pl.ds(starts_ref[a + 1], pmax)], buf.at[nxt],
+                sems.at[nxt],
+            ).start()
+
+        pltpu.make_async_copy(
+            packed_hbm.at[pl.ds(starts_ref[a], pmax)], buf.at[slot],
+            sems.at[slot],
+        ).wait()
+        return buf[slot]
+
+    def _factor_weights_jk(pk, pmax, valid):
+        """The (j, k)-factor of the tensor-product B-spline weights.
+
+        W[p, (i*6+j)*6+k] = Wx[p,i] * W2[p, j*6+k] with W2 = Wy * Wz.  The
+        one-hot selections run on a single (pmax, 36) tile via lane iota —
+        the narrow per-axis concatenate construction this replaces was
+        VPU-bound (round-2 profile: the blocked G2P spent ~5.5 ms/substep
+        rebuilding W).  valid is folded in here (once per product).
+        """
+        jk = jax.lax.broadcasted_iota(jnp.int32, (pmax, 36), 1)
+        j_l = jk // 6
+        k_l = jk - 6 * j_l
+        lby = pk[:, 26:27].astype(jnp.int32)
+        lbz = pk[:, 27:28].astype(jnp.int32)
+        Wy = jnp.zeros((pmax, 36), pk.dtype)
+        Wz = jnp.zeros((pmax, 36), pk.dtype)
+        for t in range(3):
+            Wy = Wy + jnp.where(j_l == lby + t, pk[:, 19 + t : 20 + t], 0.0)
+            Wz = Wz + jnp.where(k_l == lbz + t, pk[:, 22 + t : 23 + t], 0.0)
+        return Wy * Wz * valid
+
+    def _factor_weights_x(pk, pmax, width, stride):
+        """The i-factor expanded over a (pmax, width) tile: lane c gets
+        Wx[p, c // stride]."""
+        i_l = jax.lax.broadcasted_iota(jnp.int32, (pmax, width), 1) // stride
+        lbx = pk[:, 25:26].astype(jnp.int32)
+        Wx = jnp.zeros((pmax, width), pk.dtype)
+        for t in range(3):
+            Wx = Wx + jnp.where(i_l == lbx + t, pk[:, 16 + t : 17 + t], 0.0)
+        return Wx
 
     def _p2g_block_kernel(
-        starts_ref, offs_ref, counts_ref, packed_hbm, out_ref, *, pmax
+        starts_ref, offs_ref, counts_ref, packed_hbm, out_ref, buf, sems,
+        *, pmax
     ):
         # packed columns: 0:16 vals, 16:25 w taps, 25:28 local base (as f32).
         # starts are 8-row aligned (HBM (8,128) tiling: an unaligned dynamic
         # DMA start hangs the DMA engine); offs gives the true row offset.
         a = pl.program_id(0)
-        start = starts_ref[a]
+        pk = _double_buffered_window(
+            a, starts_ref, packed_hbm, buf, sems, pmax=pmax
+        )
         off = offs_ref[a]
         count = counts_ref[a]
-
-        def body(pk_vm, sem):
-            cp = pltpu.make_async_copy(
-                packed_hbm.at[pl.ds(start, pmax)], pk_vm, sem
-            )
-            cp.start()
-            cp.wait()
-            pk = pk_vm[:]  # (pmax, 128)
-
-            rows = jax.lax.broadcasted_iota(jnp.int32, (pmax, 1), 0)
-            valid = jnp.logical_and(rows >= off, rows < off + count).astype(
-                pk.dtype
-            )
-            V = pk[:, 0:P2G_NV] * valid  # (pmax, 16)
-            W = _onehot_weights(pk, pmax, valid)
-            out = jax.lax.dot_general(
-                V, W, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (16, 216)
-            pad = jnp.zeros((P2G_NV, P2G_NODES_PAD - 216), out.dtype)
-            out_ref[0] = jnp.concatenate([out, pad], axis=1)
-
-        pl.run_scoped(
-            body,
-            pk_vm=pltpu.VMEM((pmax, 128), jnp.float32),
-            sem=pltpu.SemaphoreType.DMA(()),
+        rows = jax.lax.broadcasted_iota(jnp.int32, (pmax, 1), 0)
+        valid = jnp.logical_and(rows >= off, rows < off + count).astype(
+            pk.dtype
         )
+        # Factorized contraction: out[(i,v),(j,k)] = sum_p V[p,v] Wx[p,i]
+        # * (Wy Wz)[p,(j,k)] — an MXU-shaped (96, 36) result instead of the
+        # (16, 216) one-hot form whose W build was VPU-bound.
+        V96 = jnp.concatenate([pk[:, 0:P2G_NV]] * 6, axis=1)  # (pmax, 96)
+        V1 = V96 * _factor_weights_x(pk, pmax, 96, P2G_NV)
+        W2 = _factor_weights_jk(pk, pmax, valid)  # (pmax, 36)
+        out = jax.lax.dot_general(
+            V1, W2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (96, 36)
+        pad = jnp.zeros((6 * P2G_NV, 128 - 36), out.dtype)
+        out_ref[0] = jnp.concatenate([out, pad], axis=1)
 
-    def p2g_block_matmul_pallas(packed, starts, offs, counts, pmax: int):
+    def p2g_block_matmul_pallas(packed, starts, offs, counts, pmax: int,
+                                interpret: bool = False):
         """packed: (n_pad, 128) f32 — see _p2g_block_kernel column layout.
         starts must be 8-aligned; offs the in-slice row offsets.
-        Returns (A, 16, 256) with nodes in [:, :, :216]."""
+        Returns (A, 16, 216) (reference layout: node l = (i*6+j)*6+k)."""
         A = starts.shape[0]
         kernel = functools.partial(_p2g_block_kernel, pmax=pmax)
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -274,16 +306,27 @@ if _HAS_PALLAS:
             grid=(A,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
-                (1, P2G_NV, P2G_NODES_PAD), lambda a, *_: (a, 0, 0),
+                (1, 6 * P2G_NV, 128), lambda a, *_: (a, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            scratch_shapes=[
+                pltpu.VMEM((2, pmax, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
         )
-        out = pl.pallas_call(
+        raw = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((A, P2G_NV, P2G_NODES_PAD), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((A, 6 * P2G_NV, 128), jnp.float32),
+            interpret=interpret,
         )(starts, offs, counts, packed)
-        return out[:, :, :216]
+        # raw[a, i*16+v, j*6+k] -> (A, 16, 216) with l = i*36 + j*6 + k.
+        return (
+            raw[:, :, :36]
+            .reshape(A, 6, P2G_NV, 36)
+            .transpose(0, 2, 1, 3)
+            .reshape(A, P2G_NV, 216)
+        )
 
 else:  # pragma: no cover
 
@@ -492,84 +535,91 @@ if _HAS_PALLAS:
 
     def _g2p_block_kernel(
         starts_ref, offs_ref, counts_ref, packed_hbm, vel_ref, out_ref,
-        *, pmax, dxi2, dt
+        buf, sems, *, pmax, dxi2, dt
     ):
         a = pl.program_id(0)
-        start = starts_ref[a]
+        pk = _double_buffered_window(
+            a, starts_ref, packed_hbm, buf, sems, pmax=pmax
+        )
         off = offs_ref[a]
         count = counts_ref[a]
-
-        def body(pk_vm, sem):
-            cp = pltpu.make_async_copy(
-                packed_hbm.at[pl.ds(start, pmax)], pk_vm, sem
-            )
-            cp.start()
-            cp.wait()
-            pk = pk_vm[:]  # (pmax, 128)
-
-            rows = jax.lax.broadcasted_iota(jnp.int32, (pmax, 1), 0)
-            valid = jnp.logical_and(rows >= off, rows < off + count).astype(
-                pk.dtype
-            )
-            W = _onehot_weights(pk, pmax, valid)  # (pmax, 216)
-            vel = vel_ref[0]  # (216, 128); cols 0:12 meaningful
-            g2p = jax.lax.dot_general(
-                W, vel, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (pmax, 128)
-
-            v = [g2p[:, i : i + 1] for i in range(3)]
-            x = [pk[:, 28 + i : 29 + i] for i in range(3)]
-            F = [
-                [pk[:, 31 + 3 * i + j : 32 + 3 * i + j] for j in range(3)]
-                for i in range(3)
-            ]
-            # g2p col 3 + 3a + i = sum_l w v_i n_a; C[i][j] = dxi2 *
-            # (sum w v_i n_j - v_i x_j).
-            C = [
-                [
-                    dxi2 * (g2p[:, 3 + 3 * j + i : 4 + 3 * j + i] - v[i] * x[j])
-                    for j in range(3)
-                ]
-                for i in range(3)
-            ]
-            Fn = [
-                [
-                    F[i][j]
-                    + dt
-                    * (
-                        C[i][0] * F[0][j]
-                        + C[i][1] * F[1][j]
-                        + C[i][2] * F[2][j]
-                    )
-                    for j in range(3)
-                ]
-                for i in range(3)
-            ]
-            xn = [x[i] + dt * v[i] for i in range(3)]
-            cols = (
-                xn
-                + v
-                + [Fn[i][j] for i in range(3) for j in range(3)]
-                + [C[i][j] for i in range(3) for j in range(3)]
-            )
-            out = jnp.concatenate(
-                cols + [jnp.zeros((pmax, 128 - 24), pk.dtype)], axis=1
-            )
-            out_ref[0] = out * valid
-
-        pl.run_scoped(
-            body,
-            pk_vm=pltpu.VMEM((pmax, 128), jnp.float32),
-            sem=pltpu.SemaphoreType.DMA(()),
+        rows = jax.lax.broadcasted_iota(jnp.int32, (pmax, 1), 0)
+        valid = jnp.logical_and(rows >= off, rows < off + count).astype(
+            pk.dtype
         )
+        # Factorized gather: T[p, i*12+c] = sum_{jk} (Wy Wz)[p,(j,k)]
+        # * vel2[(j,k), i*12+c], then contract the i-factor on lanes.
+        W2 = _factor_weights_jk(pk, pmax, valid)  # (pmax, 36)
+        vel = vel_ref[0]  # (36, 128); cols i*12+c for i<6, c<12
+        T = jax.lax.dot_general(
+            W2, vel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (pmax, 128)
+        U = T[:, 0:72] * _factor_weights_x(pk, pmax, 72, 12)
+        g2p = (
+            U[:, 0:12] + U[:, 12:24] + U[:, 24:36]
+            + U[:, 36:48] + U[:, 48:60] + U[:, 60:72]
+        )  # (pmax, 12): [v(3), sum_l w v_i n_a (9)]
+
+        v = [g2p[:, i : i + 1] for i in range(3)]
+        x = [pk[:, 28 + i : 29 + i] for i in range(3)]
+        F = [
+            [pk[:, 31 + 3 * i + j : 32 + 3 * i + j] for j in range(3)]
+            for i in range(3)
+        ]
+        # g2p col 3 + 3a + i = sum_l w v_i n_a; C[i][j] = dxi2 *
+        # (sum w v_i n_j - v_i x_j).
+        C = [
+            [
+                dxi2 * (g2p[:, 3 + 3 * j + i : 4 + 3 * j + i] - v[i] * x[j])
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        Fn = [
+            [
+                F[i][j]
+                + dt
+                * (
+                    C[i][0] * F[0][j]
+                    + C[i][1] * F[1][j]
+                    + C[i][2] * F[2][j]
+                )
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+        xn = [x[i] + dt * v[i] for i in range(3)]
+        cols = (
+            xn
+            + v
+            + [Fn[i][j] for i in range(3) for j in range(3)]
+            + [C[i][j] for i in range(3) for j in range(3)]
+        )
+        out = jnp.concatenate(
+            cols + [jnp.zeros((pmax, 128 - 24), pk.dtype)], axis=1
+        )
+        out_ref[0] = out * valid
 
     def g2p_block_matmul_pallas(
-        packed, vel_ext, starts_al, offs, counts, pmax: int, dxi2, dt
+        packed, vel_ext, starts_al, offs, counts, pmax: int, dxi2, dt,
+        interpret: bool = False,
     ):
-        """vel_ext must be (A, 216, 128) (lane-padded).  See reference for
-        the layout contract."""
+        """vel_ext: (A, 216, >=12) per-block node channels [v, v*nx, v*ny,
+        v*nz] in node order l = (i*6+j)*6+k.  See reference for the layout
+        contract."""
         A = starts_al.shape[0]
+        # Rearrange to the factorized layout vel2[a, j*6+k, i*12+c].
+        vel2 = (
+            vel_ext[:, :, :G2P_VEL_CH]
+            .reshape(A, 6, 6, 6, G2P_VEL_CH)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(A, 36, 6 * G2P_VEL_CH)
+        )
+        vel2 = jnp.concatenate(
+            [vel2, jnp.zeros((A, 36, 128 - 6 * G2P_VEL_CH), vel2.dtype)],
+            axis=-1,
+        )
         kernel = functools.partial(
             _g2p_block_kernel, pmax=pmax, dxi2=float(dxi2), dt=float(dt)
         )
@@ -579,7 +629,7 @@ if _HAS_PALLAS:
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(
-                    (1, 216, 128), lambda a, *_: (a, 0, 0),
+                    (1, 36, 128), lambda a, *_: (a, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -587,12 +637,17 @@ if _HAS_PALLAS:
                 (1, pmax, 128), lambda a, *_: (a, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            scratch_shapes=[
+                pltpu.VMEM((2, pmax, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((A, pmax, 128), jnp.float32),
-        )(starts_al, offs, counts, packed, vel_ext)
+            interpret=interpret,
+        )(starts_al, offs, counts, packed, vel2)
 
 else:  # pragma: no cover
 
@@ -612,17 +667,6 @@ def g2p_block_matmul_packed(
         use_pallas = _HAS_PALLAS and jax.default_backend() not in ("cpu",)
     win = align_window(pmax)
     if use_pallas:
-        A = vel_ext.shape[0]
-        if vel_ext.shape[-1] < 128:
-            vel_ext = jnp.concatenate(
-                [
-                    vel_ext,
-                    jnp.zeros(
-                        (A, 216, 128 - vel_ext.shape[-1]), vel_ext.dtype
-                    ),
-                ],
-                axis=-1,
-            )
         return _g2p_pallas_vmapsafe(win, float(dxi2), float(dt))(
             packed, vel_ext, starts_al, offs, counts
         )

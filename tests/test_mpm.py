@@ -166,16 +166,11 @@ class TestBlockedSubstep:
         np.testing.assert_allclose(np.asarray(blk.F), np.asarray(ref.F), atol=1e-5)
         np.testing.assert_allclose(np.asarray(blk.C), np.asarray(ref.C), atol=1e-3)
 
-    def test_g2p_kernel_interpret_matches_reference(self):
-        """Pallas G2P kernel (interpret mode) vs the XLA reference."""
-        import functools
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-        from drake_tpu.ops import mpm_kernels as mk
-
-        A, PMAX, n_pad = 8, 64, 512
-        key = jax.random.PRNGKey(0)
+    def _random_packed(self, n_pad, key):
         packed = jnp.zeros((n_pad, 128), F32)
+        packed = packed.at[:, 0:16].set(
+            0.1 * jax.random.normal(key, (n_pad, 16), F32)
+        )
         packed = packed.at[:, 16:25].set(
             jax.random.uniform(key, (n_pad, 9), F32)
         )
@@ -186,6 +181,15 @@ class TestBlockedSubstep:
         packed = packed.at[:, 31:40].set(
             jnp.tile(jnp.eye(3, dtype=F32).reshape(1, 9), (n_pad, 1))
         )
+        return packed
+
+    def test_g2p_kernel_interpret_matches_reference(self):
+        """Pallas G2P kernel (interpret mode) vs the XLA reference."""
+        from drake_tpu.ops import mpm_kernels as mk
+
+        A, PMAX, n_pad = 8, 64, 512
+        key = jax.random.PRNGKey(0)
+        packed = self._random_packed(n_pad, key)
         starts = (jnp.arange(A, dtype=jnp.int32) * 56)
         counts = jnp.full((A,), 40, jnp.int32)
         starts_al, offs, counts_c = mk.align_starts(starts, counts, n_pad, PMAX)
@@ -193,27 +197,32 @@ class TestBlockedSubstep:
         ref = mk.g2p_block_matmul_reference(
             packed, vel_ext, starts_al, offs, counts_c, PMAX, 1e3, 1e-4
         )
-        vel_pad = jnp.concatenate(
-            [vel_ext, jnp.zeros((A, 216, 116), F32)], axis=-1
-        )
-        kernel = functools.partial(
-            mk._g2p_block_kernel, pmax=PMAX, dxi2=1e3, dt=1e-4
-        )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3, grid=(A,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, 216, 128), lambda a, *_: (a, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, PMAX, 128), lambda a, *_: (a, 0, 0),
-                                   memory_space=pltpu.VMEM),
-        )
-        out = pl.pallas_call(
-            kernel, grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((A, PMAX, 128), jnp.float32),
+        out = mk.g2p_block_matmul_pallas(
+            packed, vel_ext, starts_al, offs, counts_c, PMAX, 1e3, 1e-4,
             interpret=True,
-        )(starts_al, offs, counts_c, packed, vel_pad)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4
+        )
+
+    def test_p2g_kernel_interpret_matches_reference(self):
+        """Pallas P2G kernel (interpret mode) vs the XLA reference."""
+        from drake_tpu.ops import mpm_kernels as mk
+
+        A, PMAX, n_pad = 8, 64, 512
+        key = jax.random.PRNGKey(1)
+        packed = self._random_packed(n_pad, key)
+        # Unaligned starts exercise the align_starts offs path.
+        starts = (jnp.arange(A, dtype=jnp.int32) * 56 + 3)
+        counts = jnp.full((A,), 40, jnp.int32)
+        ref = mk.p2g_block_matmul_reference(
+            packed[:, 0:16], packed[:, 25:28].astype(jnp.int32),
+            packed[:, 16:25], starts, counts, PMAX,
+        )
+        starts_al, offs, counts_c = mk.align_starts(starts, counts, n_pad, PMAX)
+        out = mk.p2g_block_matmul_pallas(
+            packed, starts_al, offs, counts_c, PMAX, interpret=True
+        )
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=1e-4
         )
