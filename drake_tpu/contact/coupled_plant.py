@@ -60,6 +60,12 @@ class CoupledWorld:
     contact_model: str = "penalty"
     grid_contact_params: Optional[object] = None
     contact_query_frequency: int = 1
+    # With "implicit": host the substeps + contact Newton on the tile-slab
+    # pipeline (mpm/tiles_contact.py) — one sort per rigid step, factorized
+    # MXU transfers in the Newton (the TPU fast path).  False falls back to
+    # the dense-grid solve (mpm/grid_contact.py); both paths agree to f32
+    # roundoff (tests/test_tiles_contact.py).
+    tiled: bool = True
     # Set to couple a codimensional cloth instead of volumetric particles:
     # CoupledState.particles is then a mpm.cloth.ClothState and every
     # substep applies the cloth's elastic vertex forces before P2G (the
@@ -129,6 +135,50 @@ class CoupledWorld:
                 body, (state.particles, acc0), None,
                 length=self.substeps_per_step,
             )
+        elif self.contact_model == "implicit" and self.tiled:
+            from drake_tpu.mpm import grid_contact as gcmod
+            from drake_tpu.mpm import tiles
+            from drake_tpu.mpm import tiles_contact as tcmod
+
+            gc_params = (
+                self.grid_contact_params
+                if self.grid_contact_params is not None
+                else gcmod.GridContactParams(
+                    stiffness=self.contact_params.stiffness,
+                    damping=self.contact_params.damping,
+                    friction=self.contact_params.friction,
+                    slip_velocity=self.contact_params.slip_velocity,
+                )
+            )
+            freq = max(1, self.contact_query_frequency)
+            ss0 = tiles.sort_to_tiles(self.mpm_config, state.particles)
+
+            def with_contact(ss):
+                return tcmod.resident_substep_contact(
+                    self.mpm_config, gc_params, ss, geoms
+                )
+
+            def without_contact(ss):
+                return (
+                    tiles.resident_substep(self.mpm_config, ss),
+                    jnp.zeros((len(geoms), 6), q.dtype),
+                )
+
+            def body(carry, k):
+                ss, acc = carry
+                if freq == 1:
+                    ss, imp = with_contact(ss)
+                else:
+                    ss, imp = jax.lax.cond(
+                        k % freq == 0, with_contact, without_contact, ss
+                    )
+                return (ss, acc + imp), None
+
+            acc0 = jnp.zeros((len(geoms), 6), q.dtype)
+            (ssf, impulses), _ = jax.lax.scan(
+                body, (ss0, acc0), jnp.arange(self.substeps_per_step)
+            )
+            particles = tiles.tiles_to_state(ssf, state.particles)
         elif self.contact_model == "implicit":
             from drake_tpu.mpm import grid_contact as gcmod
 

@@ -137,6 +137,7 @@ def ilqr_mpc_rollout(
     sim_dynamics: Optional[Callable] = None,
     first_options: Optional[ilqr.IlqrOptions] = None,
     refresh_every: int = 0,
+    x_bound: float = float("inf"),
 ) -> MpcRolloutResult:
     """Closed-loop MPC: at every sim step re-solve the horizon (warm-started
     by shifting the previous plan) and apply the first input.
@@ -154,6 +155,14 @@ def ilqr_mpc_rollout(
     k-th step (periodic re-planning).  Pure 1-iter tracking goes stale after
     ~10 steps on contact tasks; a periodic refresh restores plan quality at
     a fraction of the every-step cost.  0 = heavy solve only at step 0.
+
+    ``x_bound``: physical divergence bound for the lane-freeze guard.  An
+    f32 plant blow-up can race through astronomically large but still
+    FINITE states (|x| ~ 1e16) without ever producing a NaN, so the
+    isfinite guard alone misses it; any step whose |x| exceeds this bound
+    is rejected and the lane holds its previous state.  Pick a bound well
+    outside the task's reachable set (e.g. 1e3 for a meter-scale
+    manipulation scene).
     """
     if sim_dynamics is None:
         sim_dynamics = dynamics
@@ -183,8 +192,11 @@ def ilqr_mpc_rollout(
         # Lane freeze: if this scenario's plant diverged (f32 blow-up on an
         # extreme rollout), hold its state instead of propagating NaN — one
         # bad vmapped lane must not poison batch statistics (the
-        # SapSolverStats failure-containment role).
-        ok = jnp.all(jnp.isfinite(x_next))
+        # SapSolverStats failure-containment role).  The x_bound test also
+        # catches finite-but-diverged states (|x| ~ 1e16 without a NaN).
+        ok = jnp.all(jnp.isfinite(x_next)) & (
+            jnp.max(jnp.abs(x_next)) < x_bound
+        )
         x_next = jnp.where(ok, x_next, x)
         # Warm start: shift the plan one step, repeat the last input.
         us_shift = jnp.concatenate([res.us[1:], res.us[-1:]], axis=0)

@@ -133,9 +133,22 @@ class CollisionScene:
                    for i, j in self.pairs)
 
     def query(
-        self, model: MultibodyModel, params: MultibodyParams, q
+        self,
+        model: MultibodyModel,
+        params: MultibodyParams,
+        q,
+        broad_phase: bool = True,
+        broad_phase_margin: float = 0.1,
     ) -> ContactData:
-        """Compute all candidate contacts at configuration q (on device)."""
+        """Compute all candidate contacts at configuration q (on device).
+
+        ``broad_phase``: gate MESH-involving narrow phases behind an AABB
+        overlap test (``lax.cond`` — the vertex/face FLOPs are genuinely
+        skipped for separated pairs, the reference's BVH-culling role,
+        geometry/proximity/bvh.h).  Culled pairs report phi =
+        +broad_phase_margin (inactive for any SAP/penalty consumer).
+        Analytic pairs are too cheap to gate.
+        """
         R_WB, p_WB = kin.forward_kinematics(model, params, q)
         dtype = q.dtype
 
@@ -148,6 +161,14 @@ class CollisionScene:
             p = p_WB[g.body] + R_WB[g.body] @ p_BG
             return R, p
 
+        aabbs = {}
+        if broad_phase:
+            from drake_tpu.geometry import mesh_contact as mc
+
+            for k, g in enumerate(self.geometries):
+                Rg, pg = geom_pose(g)
+                aabbs[k] = mc.shape_aabb(g.shape, Rg, pg, dtype)
+
         phis, pws, nws = [], [], []
         body_a, body_b = [], []
         ks, ds, mus = [], [], []
@@ -155,7 +176,40 @@ class CollisionScene:
             ga, gb = self.geometries[i], self.geometries[j]
             Ra, pa = geom_pose(ga)
             Rb, pb = geom_pose(gb)
-            contacts = _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype)
+            gate = broad_phase and (
+                isinstance(ga.shape, sh.Mesh) or isinstance(gb.shape, sh.Mesh)
+            )
+            if gate:
+                from drake_tpu.geometry import mesh_contact as mc
+
+                ok = mc.aabb_overlap(
+                    *aabbs[i], *aabbs[j], margin=broad_phase_margin
+                )
+                m = _contacts_per_pair(ga, gb)
+
+                def compute(_):
+                    entries = _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype)
+                    return (
+                        jnp.stack([e[0] for e in entries]),
+                        jnp.stack([e[1] for e in entries]),
+                        jnp.stack([e[2] for e in entries]),
+                    )
+
+                def culled(_):
+                    return (
+                        jnp.full((m,), broad_phase_margin, dtype),
+                        jnp.zeros((m, 3), dtype),
+                        jnp.tile(
+                            jnp.asarray([0.0, 0.0, 1.0], dtype)[None], (m, 1)
+                        ),
+                    )
+
+                phi_g, p_g, n_g = jax.lax.cond(ok, compute, culled, 0)
+                contacts = [
+                    (phi_g[k2], p_g[k2], n_g[k2]) for k2 in range(m)
+                ]
+            else:
+                contacts = _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype)
             k, d, mu = _combine_materials(ga, gb)
             hp = _hydro_pair(ga, gb)
             if hp is not None:
@@ -211,6 +265,9 @@ def _contacts_per_pair(ga: CollisionGeometry, gb: CollisionGeometry) -> int:
         frozenset(("Box",)): 8,
         frozenset(("Capsule", "Box")): 3,
     }
+    if kinds == ("Mesh", "Mesh"):
+        # Vertex-vs-hull both ways, K deepest each direction.
+        return min(4, a.num_vertices) + min(4, b.num_vertices)
     if "Mesh" in kinds:
         # Mesh vs SDF shape: top-K deepest sampled vertices.
         mesh = a if isinstance(a, sh.Mesh) else b
@@ -505,9 +562,12 @@ def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
         # keep the K deepest (differentiable: top_k gathers).  The role of
         # the reference's FCL mesh narrow phase for the supported shape set.
         if isinstance(b, sh.Mesh):
-            raise NotImplementedError(
-                "mesh-mesh contact: give one side an analytic shape"
-            )
+            # Mesh-mesh: vertex-vs-convex-hull manifold, both directions
+            # (geometry/mesh_contact.py; the FCL GJK/EPA role for convex
+            # meshes — non-convex meshes contact by their hulls).
+            from drake_tpu.geometry import mesh_contact as mc
+
+            return mc.mesh_mesh_contacts(a, Ra, pa, b, Rb, pb, dtype)
         verts_W = (
             jnp.asarray(a.vertices, dtype) @ Ra.T + pa
         )  # (n, 3)

@@ -80,6 +80,7 @@ def _pair_quantities(state: mpm.MpmState, geoms: Sequence[RigidGeom]):
     phis, ns, vgs = [], [], []
     for geom in geoms:
         phi, n = _particle_sdf(geom, state.x)
+        n = jnp.broadcast_to(n, state.x.shape)  # halfspace returns (3,)
         w, vo = geom.V_WB[:3], geom.V_WB[3:]
         v_g = vo + jnp.cross(
             jnp.broadcast_to(w, state.x.shape), state.x - geom.p_WB

@@ -571,23 +571,65 @@ def dense_to_blocked(config, G):
     )
 
 
-def resident_substep(
-    config,
-    ss: SortedMpm,
-    grid_op: Optional[Callable] = None,
-    particle_force: Optional[jnp.ndarray] = None,
-) -> SortedMpm:
-    """One MLS-MPM substep on the tile-slab state (P2G -> grid -> G2P).
+class TransferCtx(NamedTuple):
+    """Per-substep transfer context shared by P2G, G2P, and the implicit
+    contact solve: state planes, factorized weights, and the P2G output."""
 
-    grid_op, if given, maps (grid_vel (nx, ny, nz, 3), grid_mass (nx, ny,
-    nz)) -> new grid_vel in DENSE layout — the hook used by grid-level
-    contact (mpm/grid_contact.py) and rigid coupling.  particle_force, if
-    given, is a (n_rows, 3) per-slab-row external force (cloth FEM).
-    """
+    x: list  # [3] (nrows,) position planes
+    v: list  # [3]
+    F: list  # [3][3]
+    C: list  # [3][3]
+    mass: jnp.ndarray
+    vol: jnp.ndarray
+    Wx: jnp.ndarray  # (T_CAP, TS, 8) x-axis tap factors
+    W2: jnp.ndarray  # (T_CAP, TS, 64) (Wy Wz) factors, validity-masked
+    vm: jnp.ndarray  # (T_CAP, TS) row-validity mask
+    stale: jnp.ndarray  # () staleness count
+    vals_rows: jnp.ndarray  # (A, 4, 512) P2G [mass, momentum] window rows
+    npx: jnp.ndarray  # (A, 8) window-node world positions per axis
+    npy: jnp.ndarray
+    npz: jnp.ndarray
+
+
+def p2g_field(ss: SortedMpm, Wx, W2, planes) -> jnp.ndarray:
+    """Generic P2G: scatter per-particle channel planes to per-block window
+    rows (A, c, 512) via the factorized contraction.  Pass squared factors
+    (Wx**2, W2**2) for w_ip^2 transfers (Jacobi diagonals)."""
+    T_CAP = Wx.shape[0]
+    c = len(planes)
+    A = ss.active.shape[0]
+    dtype = planes[0].dtype
+    V = jnp.stack(planes, axis=-1).reshape(T_CAP, TS, c)
+    V1 = (Wx[:, :, :, None] * V[:, :, None, :]).reshape(T_CAP, TS, 8 * c)
+    out = jnp.einsum("tpm,tpl->tml", V1, W2)  # (T_CAP, 8c, 64)
+    blk = jnp.zeros((A, 8 * c, 64), dtype).at[ss.a_of_tile].add(out)
+    return jnp.moveaxis(blk.reshape(A, 8, c, 64), 2, 1).reshape(A, c, 512)
+
+
+def g2p_field(ss: SortedMpm, Wx, W2, win_rows) -> list:
+    """Generic G2P: interpolate per-block window rows (A, c, 512) at the
+    particles; returns c planes of (nrows,)."""
+    A, c = win_rows.shape[0], win_rows.shape[1]
+    T_CAP = Wx.shape[0]
+    nrows = T_CAP * TS
+    vel2 = (
+        win_rows.reshape(A, c, 8, 64).transpose(0, 3, 2, 1).reshape(A, 64, 8 * c)
+    )
+    vel2_t = vel2.reshape(A, 64 * 8 * c)[ss.a_of_tile].reshape(-1, 64, 8 * c)
+    Tt = jnp.einsum("tpl,tlc->tpc", W2, vel2_t)  # (T_CAP, TS, 8c)
+    U = Tt.reshape(T_CAP, TS, 8, c) * Wx[:, :, :, None]
+    g2p = U.sum(axis=2)  # (T_CAP, TS, c)
+    return [g2p[:, :, k].reshape(nrows) for k in range(c)]
+
+
+def transfer_ctx(
+    config, ss: SortedMpm, particle_force: Optional[jnp.ndarray] = None
+) -> TransferCtx:
+    """Stage 1 of the substep: constitutive + APIC affine + factorized
+    weights + the momentum P2G, all on channel planes."""
     dtype = ss.slab.dtype
     nrows = ss.slab.shape[1]
     T_CAP = nrows // TS
-    A = config.max_active_blocks
     dx, dt = config.dx, config.dt
     dxi2 = 4.0 / dx**2
     nx, ny, nz = config.grid_size
@@ -656,34 +698,51 @@ def resident_substep(
     )
 
     # ---- P2G: batched factorized matmul, tiles segment-summed to blocks ----
-    V = jnp.stack(
+    A = ss.active.shape[0]
+    mp_rows = p2g_field(
+        ss, Wx, W2,
         [mass, u0[0], u0[1], u0[2]]
         + [affine[i][j] for i in range(3) for j in range(3)],
-        axis=-1,
-    ).reshape(T_CAP, TS, 13)
-    V1 = (Wx[:, :, :, None] * V[:, :, None, :]).reshape(T_CAP, TS, 8 * 13)
-    out = jnp.einsum("tpm,tpl->tml", V1, W2)  # (T_CAP, 104, 64)
-    blk = jnp.zeros((A, 8 * 13, 64), dtype).at[ss.a_of_tile].add(out)
-    blk = blk.reshape(A, 8, 13, 64)
-    M_blk = blk[:, :, 0, :]  # (A, 8, 64)
-    U_blk = blk[:, :, 1:4, :]  # (A, 8, 3, 64)
-    Bm = blk[:, :, 4:13, :].reshape(A, 8, 3, 3, 64)
+    )  # (A, 13, 512): [mass, u0, affine]
+    M_rows = mp_rows[:, 0:1, :]
+    U_rows = mp_rows[:, 1:4, :]
+    Bm = mp_rows[:, 4:13, :].reshape(A, 3, 3, 512)
     npx, npy, npz = _node_pos8(config, ss.active, dtype)
-    jk = jnp.arange(64)
-    npy_jk = npy[:, jk // 8]
-    npz_jk = npz[:, jk % 8]
+    o512 = jnp.arange(512)
+    npos_x = npx[:, o512 // 64]  # (A, 512)
+    npos_y = npy[:, (o512 // 8) % 8]
+    npos_z = npz[:, o512 % 8]
     mom = (
-        U_blk
-        + Bm[:, :, :, 0, :] * npx[:, :, None, None]
-        + Bm[:, :, :, 1, :] * npy_jk[:, None, None, :]
-        + Bm[:, :, :, 2, :] * npz_jk[:, None, None, :]
-    )  # (A, 8, 3, 64)
+        U_rows
+        + Bm[:, :, 0, :] * npos_x[:, None, :]
+        + Bm[:, :, 1, :] * npos_y[:, None, :]
+        + Bm[:, :, 2, :] * npos_z[:, None, :]
+    )  # (A, 3, 512)
     # Rows over flat window nodes o = i*64 + jk (keep the 512-node axis
     # MINOR — small minor dims hit TPU lane-padding, ~20x slowdowns).
-    vals_rows = jnp.concatenate(
-        [M_blk.reshape(A, 1, 512), jnp.moveaxis(mom, 2, 1).reshape(A, 3, 512)],
-        axis=1,
-    )  # (A, 4, 512)
+    vals_rows = jnp.concatenate([M_rows, mom], axis=1)  # (A, 4, 512)
+    return TransferCtx(
+        x=x, v=v, F=F, C=C, mass=mass, vol=vol, Wx=Wx, W2=W2, vm=vm,
+        stale=stale, vals_rows=vals_rows, npx=npx, npy=npy, npz=npz,
+    )
+
+
+def resident_substep(
+    config,
+    ss: SortedMpm,
+    grid_op: Optional[Callable] = None,
+    particle_force: Optional[jnp.ndarray] = None,
+) -> SortedMpm:
+    """One MLS-MPM substep on the tile-slab state (P2G -> grid -> G2P).
+
+    grid_op, if given, maps (grid_vel (nx, ny, nz, 3), grid_mass (nx, ny,
+    nz)) -> new grid_vel in DENSE layout — the hook used by grid-level
+    contact (mpm/grid_contact.py) and rigid coupling.  particle_force, if
+    given, is a (n_rows, 3) per-slab-row external force (cloth FEM).
+    """
+    A = ss.active.shape[0]
+    ctx = transfer_ctx(config, ss, particle_force)
+    vals_rows = ctx.vals_rows
 
     if grid_op is None:
         nbr_idx = _neighbor_index(config, ss.active)
@@ -696,8 +755,20 @@ def resident_substep(
         dense_vel = grid_op(dense_vel, dense_mm[..., 0])
         win = dense_windows(config, ss.active, dense_vel)  # (A,8,8,8,3)
         win_v = jnp.moveaxis(win.reshape(A, 512, 3), 1, -1)
+    return g2p_finish(config, ss, ctx, win_v)
 
-    # ---- G2P ---------------------------------------------------------------
+
+def g2p_finish(config, ss: SortedMpm, ctx: TransferCtx, win_v) -> SortedMpm:
+    """Stage 2 of the substep: G2P gather of the (post-update, post-contact)
+    window velocities + the advection tail, all on channel planes."""
+    A = ss.active.shape[0]
+    nrows = ss.slab.shape[1]
+    dt = config.dt
+    dxi2 = 4.0 / config.dx**2
+    x, v, F, C = ctx.x, ctx.v, ctx.F, ctx.C
+    mass, vol = ctx.mass, ctx.vol
+    npx, npy, npz = ctx.npx, ctx.npy, ctx.npz
+
     o512 = jnp.arange(512)
     npos_x = npx[:, o512 // 64]  # (A, 512)
     npos_y = npy[:, (o512 // 8) % 8]
@@ -711,20 +782,12 @@ def resident_substep(
         ],
         axis=1,
     )  # (A, 12, 512): channel (q, c) = q-th node-pos power, c-th velocity
-    # vel2[a, jk, i*12 + (q*3+c)] = vel_ext[a, (q,c), i*64 + jk]
-    vel2 = (
-        vel_ext.reshape(A, 12, 8, 64).transpose(0, 3, 2, 1).reshape(A, 64, 96)
-    )
-    vel2_t = vel2.reshape(A, 64 * 96)[ss.a_of_tile].reshape(-1, 64, 96)
-    Tt = jnp.einsum("tpl,tlc->tpc", W2, vel2_t)  # (T_CAP, TS, 96)
-    U = Tt.reshape(T_CAP, TS, 8, 12) * Wx[:, :, :, None]
-    g2p = U.sum(axis=2)  # (T_CAP, TS, 12)
+    g = g2p_field(ss, ctx.Wx, ctx.W2, vel_ext)  # 12 planes
 
     # Advection tail on planes.  W2 already carries the validity mask, so
     # invalid/stale rows have g2p == 0; masked DELTAS (not selects) keep
     # their previous state: v += (v_new - v)*vm, C += (C_new - C)*vm, etc.
-    vmf = vm.reshape(nrows)
-    g = [g2p[:, :, c].reshape(nrows) for c in range(12)]
+    vmf = ctx.vm.reshape(nrows)
     v_new = g[0:3]
     # g[3 + 3a + i] = sum_l w v_i n_a; C_new[i][j] = dxi2 (sum w v_i n_j
     # - v_i x_j).
@@ -750,7 +813,9 @@ def resident_substep(
         + [C[i][j] + (C_new[i][j] - C[i][j]) * vmf for i in range(3) for j in range(3)]
         + [mass, vol]
     )
-    return ss.replace(slab=jnp.stack(planes, axis=0), dropped=ss.dropped + stale)
+    return ss.replace(
+        slab=jnp.stack(planes, axis=0), dropped=ss.dropped + ctx.stale
+    )
 
 
 def tile_substep(config, state, grid_op=None):

@@ -1,0 +1,173 @@
+"""Mesh-mesh contact + AABB broad phase (geometry/mesh_contact.py).
+
+Closes VERDICT round-2 item 4: scene.py's mesh-mesh NotImplementedError is
+unreachable for convex meshes, a mesh-on-mesh stack settles through SAP, and
+the AABB broad phase culls separated mesh pairs (the reference's BVH role,
+geometry/proximity/bvh.h).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drake_tpu.contact import plant as cplant
+from drake_tpu.geometry import mesh_contact as mc
+from drake_tpu.geometry import mesh_io
+from drake_tpu.geometry import shapes as sh
+from drake_tpu.geometry.scene import CollisionGeometry, CollisionScene
+from drake_tpu.multibody.model import FLOATING, ModelBuilder
+
+F64 = jnp.float64
+
+
+def _box_mesh(size):
+    v, _ = mesh_io.box_mesh(size)
+    return sh.Mesh(vertices=np.asarray(v))
+
+
+class TestHullSdf:
+    def test_hull_planes_unit_cube(self):
+        mesh = _box_mesh((1.0, 1.0, 1.0))
+        n, d = mc.hull_planes(mesh)
+        assert n.shape[0] >= 6  # qhull may triangulate faces
+        # All 8 vertices on the hull surface: max plane distance == 0.
+        phi, _ = mc.hull_sdf_point(
+            jnp.asarray(n), jnp.asarray(d), jnp.asarray(mesh.vertices)
+        )
+        np.testing.assert_allclose(np.asarray(phi), 0.0, atol=1e-12)
+
+    def test_hull_sdf_interior_and_exterior(self):
+        mesh = _box_mesh((1.0, 1.0, 1.0))
+        n, d = mc.hull_planes(mesh)
+        n, d = jnp.asarray(n), jnp.asarray(d)
+        phi_c, _ = mc.hull_sdf_point(n, d, jnp.zeros(3))
+        assert float(phi_c) == -0.5  # center of the unit cube
+        phi_o, nrm = mc.hull_sdf_point(n, d, jnp.asarray([0.0, 0.0, 0.7]))
+        np.testing.assert_allclose(float(phi_o), 0.2, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(nrm), [0, 0, 1], atol=1e-12)
+
+
+class TestMeshMeshNarrowPhase:
+    def test_penetrating_cubes_contacts(self):
+        a = _box_mesh((0.5, 0.5, 0.5))
+        b = _box_mesh((1.0, 1.0, 1.0))
+        Ra = Rb = jnp.eye(3, dtype=F64)
+        pa = jnp.asarray([0.0, 0.0, 0.70], F64)  # 0.05 overlap on z
+        pb = jnp.zeros(3, F64)
+        out = mc.mesh_mesh_contacts(a, Ra, pa, b, Rb, pb, F64)
+        assert len(out) == 8
+        # A's 4 bottom vertices penetrate B's top face by 0.05, with +z
+        # normals (B->A convention).
+        phis = np.asarray([float(e[0]) for e in out[:4]])
+        np.testing.assert_allclose(phis, -0.05, atol=1e-9)
+        for phi, p, n in out[:4]:
+            np.testing.assert_allclose(np.asarray(n), [0, 0, 1], atol=1e-9)
+
+    def test_separated_cubes_positive_phi(self):
+        a = _box_mesh((1.0, 1.0, 1.0))
+        b = _box_mesh((1.0, 1.0, 1.0))
+        out = mc.mesh_mesh_contacts(
+            a, jnp.eye(3, dtype=F64), jnp.asarray([0.0, 0.0, 1.4], F64),
+            b, jnp.eye(3, dtype=F64), jnp.zeros(3, F64), F64,
+        )
+        assert min(float(e[0]) for e in out) > 0.3
+
+
+class TestBroadPhase:
+    def test_aabb_shapes(self):
+        lo, hi = mc.shape_aabb(
+            sh.Sphere(0.5), jnp.eye(3, dtype=F64),
+            jnp.asarray([1.0, 2.0, 3.0], F64), F64,
+        )
+        np.testing.assert_allclose(np.asarray(lo), [0.5, 1.5, 2.5])
+        np.testing.assert_allclose(np.asarray(hi), [1.5, 2.5, 3.5])
+        m = _box_mesh((1.0, 1.0, 1.0))
+        lo, hi = mc.shape_aabb(m, jnp.eye(3, dtype=F64), jnp.zeros(3, F64), F64)
+        np.testing.assert_allclose(np.asarray(lo), [-0.5] * 3)
+        np.testing.assert_allclose(np.asarray(hi), [0.5] * 3)
+
+    def test_overlap(self):
+        lo = jnp.zeros(3, F64)
+        hi = jnp.ones(3, F64)
+        assert bool(mc.aabb_overlap(lo, hi, lo + 0.5, hi + 0.5))
+        assert not bool(mc.aabb_overlap(lo, hi, lo + 2.0, hi + 2.0))
+        assert bool(mc.aabb_overlap(lo, hi, lo + 2.0, hi + 2.0, margin=1.5))
+
+    def test_query_culls_separated_mesh_pairs(self):
+        """A 20-geometry mesh scene: separated pairs report the culled
+        phi = margin sentinel; touching pairs report real penetration."""
+        b = ModelBuilder()
+        for k in range(20):
+            b.add_body(
+                f"m{k}", parent=None, joint_type=FLOATING, mass=1.0,
+                inertia_com=np.eye(3) * 0.01,
+            )
+        model, params = b.build(F64)
+        mesh = _box_mesh((0.2, 0.2, 0.2))
+        small = _box_mesh((0.12, 0.12, 0.12))
+        geoms = [
+            CollisionGeometry(
+                name=f"g{k}", body=k,
+                shape=small if k == 1 else mesh, friction=0.5,
+            )
+            for k in range(20)
+        ]
+        scene = CollisionScene.build(geoms)
+        assert len(scene.pairs) == 190
+        # Spread the bodies far apart except 0 and 1, which interpenetrate
+        # (small cube 0.01 into the big one's top face).
+        q = []
+        for k in range(20):
+            pos = [2.0 * k, 0.0, 0.15 if k == 1 else 0.0]
+            if k == 1:
+                pos[0] = 0.0
+            q += [1.0, 0.0, 0.0, 0.0] + pos
+        contact = scene.query(model, params, jnp.asarray(q, F64))
+        phi = np.asarray(contact.phi)
+        # The small cube's 4 bottom vertices penetrate by 0.01.
+        assert (np.abs(phi + 0.01) < 1e-9).sum() == 4
+        # All separated pairs culled to the sentinel.
+        assert (np.abs(phi - 0.1) < 1e-9).sum() == 189 * 8
+
+    def test_settling_through_sap(self):
+        """Mesh-on-mesh stack settles through the SAP plant: a small mesh
+        cube dropped 1 mm above a big anchored mesh box comes to rest ON it
+        (the VERDICT 'mesh-on-mesh settling test')."""
+        b = ModelBuilder()
+        b.add_body(
+            "cube", parent=None, joint_type=FLOATING, mass=0.5,
+            inertia_com=np.eye(3) * 0.002,
+        )
+        model, params = b.build(F64)
+        geoms = [
+            CollisionGeometry(
+                name="table", body=-1, shape=_box_mesh((1.0, 1.0, 0.2)),
+                friction=0.8, stiffness=1e6, dissipation=1.0,
+            ),
+            CollisionGeometry(
+                name="cube", body=0, shape=_box_mesh((0.1, 0.1, 0.1)),
+                friction=0.8, stiffness=1e6, dissipation=1.0,
+            ),
+        ]
+        scene = CollisionScene.build(geoms)
+        h = 5e-3
+        dsys = cplant.make_discrete_system(model, params, scene, h)
+        q0 = jnp.asarray([1, 0, 0, 0, 0.0, 0.0, 0.151 + 0.001], F64)
+        x0 = jnp.concatenate([q0, jnp.zeros(6, F64)])
+
+        @jax.jit
+        def roll(x):
+            def body(xc, _):
+                xn = dsys.g(params, xc, jnp.zeros(0, F64), 0.0)
+                return xn, None
+
+            return jax.lax.scan(body, x, None, length=200)[0]
+
+        xf = roll(x0)
+        assert bool(jnp.all(jnp.isfinite(xf)))
+        # Resting on the table top (z = 0.1 + half cube = 0.15), not sunk,
+        # not bounced away, negligible velocity.
+        assert 0.148 < float(xf[6]) < 0.16, float(xf[6])
+        assert float(jnp.abs(xf[7:]).max()) < 0.05
+        # Stays centered (no lateral drift through friction).
+        assert float(jnp.abs(xf[4:6]).max()) < 0.01
