@@ -145,8 +145,11 @@ class GcsTrajectoryOptimization:
         return path[::-1]
 
     def solve(self, start, goal):
-        """Plan start -> goal.  Returns (CompositeBezier, result) or
-        (None, None) if disconnected."""
+        """Plan start -> goal via the FAST path: Dijkstra region sequencing
+        on centroid-distance edge weights, then one Bezier QP.  On graphs
+        where the cheapest sequence depends on the continuous geometry, use
+        ``solve_relaxation`` (the reference's joint convex relaxation +
+        rounding).  Returns (CompositeBezier, result) or (None, None)."""
         start = np.asarray(start, float)
         goal = np.asarray(goal, float)
         i0 = self._region_of(start)
@@ -156,6 +159,12 @@ class GcsTrajectoryOptimization:
         seq = [i0] if i0 == i1 else self._dijkstra(i0, i1)
         if seq is None:
             return None, None
+        return self._solve_sequence(seq, start, goal)
+
+    def _solve_sequence(self, seq, start, goal):
+        """The continuous stage: one Bezier curve per region of ``seq``
+        (control points region-contained), C0/C1 junctions, endpoint
+        equalities, quadratic smoothness — a single QP."""
         m = len(seq)
         k = self.order
         n = start.shape[0]
@@ -214,3 +223,203 @@ class GcsTrajectoryOptimization:
         z = np.asarray(res.GetSolution(prog._blocks[0]))
         ctrl = jnp.asarray(z.reshape(m, k + 1, n))
         return CompositeBezier(control_points=ctrl), res
+
+    # ------------------------------------------------------------------
+    # Joint convex relaxation + randomized rounding (the reference's
+    # GraphOfConvexSets::SolveShortestPath behavior,
+    # geometry/optimization/graph_of_convex_sets.h; Marcucci et al.).
+    # ------------------------------------------------------------------
+
+    def _flow_relaxation(self, start, goal):
+        """The SPP-in-GCS convex relaxation as one SOCP.
+
+        Per directed edge e=(u,v): flow phi_e in [0,1] and perspective
+        points y_e = phi_e x_u, z_e = phi_e x_v with A_u y_e <= phi_e b_u
+        (perspective containment); flow + spatial conservation at interior
+        vertices; cost sum t_e with ||z_e - y_e|| <= t_e (the perspective
+        of the Euclidean edge length).  Solved by the in-house ADMM conic
+        backend (solvers/conic.py) through the program container.
+
+        Returns (directed edge list with virtual source=-1 / sink=-2,
+        flows (E,)).
+        """
+        start = np.asarray(start, float)
+        goal = np.asarray(goal, float)
+        n = start.shape[0]
+        SRC, SNK = -1, -2
+        edges = []
+        for i, r in enumerate(self.regions):
+            if bool(r.contains(jnp.asarray(start, jnp.float64))):
+                edges.append((SRC, i))
+            if bool(r.contains(jnp.asarray(goal, jnp.float64))):
+                edges.append((i, SNK))
+        for i, j in self.edges:
+            edges.append((i, j))
+            edges.append((j, i))
+        E = len(edges)
+        W = 2 + 2 * n  # per-edge layout [phi, t, y(n), z(n)]
+
+        prog = MathematicalProgram()
+        w = prog.NewContinuousVariables(E * W, "w")
+
+        def idx(e, what):
+            base = e * W
+            return {
+                "phi": (base, base + 1),
+                "t": (base + 1, base + 2),
+                "y": (base + 2, base + 2 + n),
+                "z": (base + 2 + n, base + 2 + 2 * n),
+            }[what]
+
+        nv = E * W
+        blk = prog._blocks[0]
+
+        def rows_for(pairs, m_rows):
+            """Sparse row builder: pairs = [(col0, coeff_matrix)...]."""
+            R = np.zeros((m_rows, nv))
+            for col0, M in pairs:
+                M = np.atleast_2d(M)
+                R[:, col0 : col0 + M.shape[1]] += M
+            return R
+
+        eye_n = np.eye(n)
+        for e, (u, v) in enumerate(edges):
+            p0, _ = idx(e, "phi")
+            y0, _ = idx(e, "y")
+            z0, _ = idx(e, "z")
+            # phi in [0, 1].
+            R = rows_for([(p0, [[1.0]])], 1)
+            prog.AddLinearConstraint(R, 0.0, 1.0, blk)
+            # Perspective containment / fixed endpoints.
+            if u == SRC:
+                R = rows_for([(y0, eye_n), (p0, -start[:, None])], n)
+                prog.AddLinearEqualityConstraint(R, np.zeros(n), blk)
+            else:
+                A = np.asarray(self.regions[u].A)
+                b = np.asarray(self.regions[u].b)
+                R = rows_for([(y0, A), (p0, -b[:, None])], A.shape[0])
+                prog.AddLinearConstraint(R, -np.inf, np.zeros(A.shape[0]), blk)
+            if v == SNK:
+                R = rows_for([(z0, eye_n), (p0, -goal[:, None])], n)
+                prog.AddLinearEqualityConstraint(R, np.zeros(n), blk)
+            else:
+                A = np.asarray(self.regions[v].A)
+                b = np.asarray(self.regions[v].b)
+                R = rows_for([(z0, A), (p0, -b[:, None])], A.shape[0])
+                prog.AddLinearConstraint(R, -np.inf, np.zeros(A.shape[0]), blk)
+            # ||z - y|| <= t  (Lorentz cone on [t; z - y]).
+            t0, _ = idx(e, "t")
+            A_soc = np.zeros((1 + n, nv))
+            A_soc[0, t0] = 1.0
+            A_soc[1:, z0 : z0 + n] = eye_n
+            A_soc[1:, y0 : y0 + n] = -eye_n
+            prog.AddLorentzConeConstraint(A_soc, np.zeros(1 + n), blk)
+
+        # Flow conservation.
+        out_of = {}
+        into = {}
+        for e, (u, v) in enumerate(edges):
+            out_of.setdefault(u, []).append(e)
+            into.setdefault(v, []).append(e)
+        # Source emits unit flow.
+        R = rows_for(
+            [(idx(e, "phi")[0], [[1.0]]) for e in out_of.get(SRC, [])], 1
+        )
+        prog.AddLinearEqualityConstraint(R, np.ones(1), blk)
+        for vtx in range(len(self.regions)):
+            ins = into.get(vtx, [])
+            outs = out_of.get(vtx, [])
+            if not ins and not outs:
+                continue
+            # phi balance (interior vertices pass flow through).
+            pairs = [(idx(e, "phi")[0], [[1.0]]) for e in ins] + [
+                (idx(e, "phi")[0], [[-1.0]]) for e in outs
+            ]
+            prog.AddLinearEqualityConstraint(
+                rows_for(pairs, 1), np.zeros(1), blk
+            )
+            # Degree <= 1 (relaxed subtour guard).
+            prog.AddLinearConstraint(
+                rows_for([(idx(e, "phi")[0], [[1.0]]) for e in ins], 1),
+                0.0, 1.0, blk,
+            )
+            # Spatial conservation: sum_in z = sum_out y.
+            pairs = [(idx(e, "z")[0], eye_n) for e in ins] + [
+                (idx(e, "y")[0], -eye_n) for e in outs
+            ]
+            prog.AddLinearEqualityConstraint(
+                rows_for(pairs, n), np.zeros(n), blk
+            )
+
+        c = np.zeros(nv)
+        for e in range(E):
+            c[idx(e, "t")[0]] = 1.0
+        prog.AddLinearCost(c, blk)
+        res = prog.Solve()
+        sol = np.asarray(res.GetSolution(blk))
+        flows = np.array([sol[idx(e, "phi")[0]] for e in range(E)])
+        return edges, flows
+
+    def solve_relaxation(
+        self, start, goal, max_paths: int = 5, seed: int = 0
+    ):
+        """Reference-equivalent GCS solve: convex flow relaxation + the
+        standard randomized rounding (sample simple paths with edge
+        probabilities proportional to the relaxed flows, solve the Bezier
+        QP for each distinct sequence, keep the cheapest).  Falls back to
+        the Dijkstra fast path if the relaxation finds no flow."""
+        start = np.asarray(start, float)
+        goal = np.asarray(goal, float)
+        edges, flows = self._flow_relaxation(start, goal)
+        SRC, SNK = -1, -2
+        rng = np.random.default_rng(seed)
+        out_of = {}
+        for e, (u, v) in enumerate(edges):
+            if flows[e] > 1e-4:
+                out_of.setdefault(u, []).append((v, flows[e]))
+
+        def sample_path(greedy: bool):
+            path, u, visited = [], SRC, set()
+            for _ in range(len(self.regions) + 2):
+                cands = [
+                    (v, f) for v, f in out_of.get(u, []) if v not in visited
+                ]
+                if not cands:
+                    return None
+                if greedy:
+                    v = max(cands, key=lambda c: c[1])[0]
+                else:
+                    p = np.array([f for _, f in cands])
+                    v = cands[rng.choice(len(cands), p=p / p.sum())][0]
+                if v == SNK:
+                    return path
+                path.append(v)
+                visited.add(v)
+                u = v
+            return None
+
+        seqs = []
+        g = sample_path(greedy=True)
+        if g:
+            seqs.append(tuple(g))
+        for _ in range(8 * max_paths):
+            if len(seqs) >= max_paths:
+                break
+            s = sample_path(greedy=False)
+            if s and tuple(s) not in seqs:
+                seqs.append(tuple(s))
+        best = (None, None, np.inf)
+        for seq in seqs:
+            traj, res = self._solve_sequence(list(seq), start, goal)
+            if res is not None and res.is_success():
+                # Compare by true path length of the rounded trajectory.
+                ss = np.linspace(0.0, 1.0, 64)
+                pts = np.asarray(jax.vmap(traj.value)(jnp.asarray(ss)))
+                length = float(
+                    np.sum(np.linalg.norm(np.diff(pts, axis=0), axis=1))
+                )
+                if length < best[2]:
+                    best = (traj, res, length)
+        if best[0] is None:
+            return self.solve(start, goal)
+        return best[0], best[1]

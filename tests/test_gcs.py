@@ -2,6 +2,7 @@
 trajectory_optimization/test/gcs_trajectory_optimization_test.cc
 patterns: corridor routing, containment, continuity)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,3 +75,41 @@ class TestTrajectory:
         # Straight line inside one box.
         mid = np.asarray(traj.value(0.5))
         np.testing.assert_allclose(mid, [0.5, 0.5], atol=1e-3)
+
+
+class TestGcsRelaxation:
+    """The joint convex relaxation + rounding (solve_relaxation) recovers
+    the true shortest route on a graph where greedy centroid-Dijkstra
+    sequencing is provably suboptimal (VERDICT round-2 item 8; reference
+    geometry/optimization/graph_of_convex_sets.h)."""
+
+    def _trap_graph(self):
+        # start (0,0) -> goal (10,0).  Two corridors: the LOW road L is
+        # nearly straight (true length ~10); the HIGH road H detours to
+        # y ~ 7 (true length ~21) but its centroid sits CLOSER to the
+        # start/goal centroids, so centroid-weight Dijkstra picks H.
+        regions = [
+            HPolyhedron.box([-1.0, -2.0], [1.0, 9.0]),    # 0: start column
+            HPolyhedron.box([0.9, 6.5], [9.1, 8.5]),      # 1: high road
+            HPolyhedron.box([0.9, -2.0], [9.1, 0.0]),     # 2: low road
+            HPolyhedron.box([9.0, -2.0], [11.0, 9.0]),    # 3: goal column
+        ]
+        return GcsTrajectoryOptimization(regions, order=3)
+
+    @staticmethod
+    def _length(traj):
+        ss = jnp.linspace(0.0, 1.0, 128)
+        pts = np.asarray(jax.vmap(traj.value)(ss))
+        return float(np.sum(np.linalg.norm(np.diff(pts, axis=0), axis=1)))
+
+    def test_dijkstra_takes_the_trap(self):
+        gcs = self._trap_graph()
+        traj, res = gcs.solve([0.0, 0.0], [10.0, 0.0])
+        assert res.is_success()
+        assert self._length(traj) > 14.0  # the high road
+
+    def test_relaxation_recovers_low_road(self):
+        gcs = self._trap_graph()
+        traj, res = gcs.solve_relaxation([0.0, 0.0], [10.0, 0.0])
+        assert res.is_success()
+        assert self._length(traj) < 12.0  # the (true-optimal) low road
