@@ -245,7 +245,9 @@ class CollisionScene:
             n_W=jnp.stack(nws),
             body_a=tuple(body_a),
             body_b=tuple(body_b),
-            stiffness=jnp.asarray(np.array(ks), dtype),
+            # k entries can be traced (pose-dependent quadrature weights,
+            # e.g. the capsule end-cap clip) — stack, don't np.array.
+            stiffness=jnp.stack([jnp.asarray(k, dtype) for k in ks]),
             dissipation=jnp.asarray(np.array(ds), dtype),
             friction=jnp.asarray(np.array(mus), dtype),
         )
@@ -274,45 +276,57 @@ def _contacts_per_pair(ga: CollisionGeometry, gb: CollisionGeometry) -> int:
         return min(8, mesh.num_vertices)
     if _hydro_pair(ga, gb) is not None:
         g_soft, _ = _hydro_pair(ga, gb)
-        r = g_soft.hydro_rings
-        if isinstance(g_soft.shape, sh.Box):
-            return 6 * (r + 1) ** 2  # (r+1)^2 grid per face
-        return 1 + 3 * r * (r + 1)  # 1 + 6 + 12 + ... hex rings
+        return _hydro_count(g_soft)
     return table[frozenset(kinds)]
 
 
 def _hydro_pair(ga, gb):
     """(g_soft, g_other) if this pair renders a hydroelastic patch.
 
-    Supported patch pairs (quadrature stand-ins for the reference's
+    General quadrature-patch support (the stand-in for the reference's
     marching contact-surface meshes, geometry/proximity/
-    mesh_intersection.h): compliant Sphere or Box vs HalfSpace, and
-    Sphere vs Sphere with either sphere compliant (the patch lives on
-    the softer sphere)."""
-    a, b = ga.shape, gb.shape
+    mesh_intersection.h + field_intersection.h): the patch lives on the
+    SOFTER compliant geometry (Sphere, Box, or Capsule) and integrates the
+    elastic-foundation pressure against ANY SDF shape (HalfSpace, Sphere,
+    Box, Capsule).  Both-compliant pairs use the series-combined modulus
+    (_hydro_modulus)."""
 
     def soft(g):
-        return g.hydroelastic_modulus is not None
+        return g.hydroelastic_modulus is not None and isinstance(
+            g.shape, (sh.Sphere, sh.Box, sh.Capsule)
+        )
 
-    for g1, g2 in ((ga, gb), (gb, ga)):
-        if (
-            soft(g1)
-            and isinstance(g1.shape, (sh.Sphere, sh.Box))
-            and isinstance(g2.shape, sh.HalfSpace)
-        ):
-            return g1, g2
-    if isinstance(a, sh.Sphere) and isinstance(b, sh.Sphere):
-        if soft(ga) and soft(gb):
-            return (
-                (ga, gb)
-                if ga.hydroelastic_modulus <= gb.hydroelastic_modulus
-                else (gb, ga)
-            )
-        if soft(ga):
-            return ga, gb
-        if soft(gb):
-            return gb, ga
+    def sdf_ok(g):
+        return isinstance(
+            g.shape, (sh.HalfSpace, sh.Sphere, sh.Box, sh.Capsule)
+        )
+
+    ok_a = soft(ga) and sdf_ok(gb)
+    ok_b = soft(gb) and sdf_ok(ga)
+    if ok_a and ok_b:
+        return (
+            (ga, gb)
+            if ga.hydroelastic_modulus <= gb.hydroelastic_modulus
+            else (gb, ga)
+        )
+    if ok_a:
+        return ga, gb
+    if ok_b:
+        return gb, ga
     return None
+
+
+def _other_sdf(g_other, R_o, p_o, x):
+    """phi + outward normal of the rigid/other side at point(s) x."""
+    s = g_other.shape
+    if isinstance(s, sh.HalfSpace):
+        phi, n = sh.halfspace_sdf_point(R_o, p_o, x)
+        return phi, jnp.broadcast_to(n, jnp.shape(x))
+    if isinstance(s, sh.Sphere):
+        return sh.sphere_sdf_point(R_o, p_o, s.radius, x)
+    if isinstance(s, sh.Box):
+        return sh.box_sdf_point(R_o, p_o, s.size, x)
+    return sh.capsule_sdf_point(R_o, p_o, s.radius, s.length, x)
 
 
 def _hydro_modulus(g_soft, g_other) -> float:
@@ -325,118 +339,124 @@ def _hydro_modulus(g_soft, g_other) -> float:
     return Ea * Eb / (Ea + Eb)
 
 
-def _hydro_sphere_halfspace(g_soft, c, Rh, ph, dtype):
-    """Quadrature patch over the sphere's contact cap: list of
-    (phi, p_W, n_W, k_scale) with k_scale = A_i / R so that per-point
-    stiffness E * k_scale integrates the hydroelastic pressure p = E
-    (depth/R) over the cap (reference geometry/proximity hydroelastic
-    field semantics, quadrature instead of marching meshes)."""
+def _hydro_patch(g_soft, R_s, p_s, g_other, R_o, p_o, dtype):
+    """Quadrature patch on the soft geometry's surface vs the other's SDF.
+
+    Returns [(phi, p_W, n_W, k_scale)]: per-point stiffness is the
+    combined modulus times k_scale = A_i / h_depth, so the pair integrates
+    the elastic-foundation pressure p = E * depth / h_depth over the patch
+    (the reference's hydroelastic pressure-field semantics — quadrature
+    instead of marching contact-surface meshes).  h_depth: sphere/capsule
+    radius, box half-extent along the face normal.  Normals come from the
+    other side's SDF (pointing from the other INTO the soft geometry).
+
+    Sphere and capsule patches are DIRECTION-AWARE: points concentrate in
+    a pi/4 cap/band facing the other geometry (direction = the other's SDF
+    normal at the soft center), which keeps the narrow contact strip well
+    sampled; box patches are full face grids (pose-independent)."""
     import math
 
-    r = g_soft.shape.radius
+    s = g_soft.shape
     rings = g_soft.hydro_rings
-    n = Rh[:, 2]
-    # Tangent frame of the halfspace.
-    t1 = Rh[:, 0]
-    t2 = Rh[:, 1]
-    alpha_max = math.pi / 4  # static cap half-angle (covers d <= 0.3 R)
-    denom = rings + 0.5
-    out = []
-    edges = [alpha_max * (j + 0.5) / denom for j in range(rings + 1)]
-    # Center cell.
-    A0 = 2 * math.pi * r * r * (1 - math.cos(edges[0]))
-    x0 = c - r * n
-    phi0, _ = sh.halfspace_sdf_point(Rh, ph, x0)
-    out.append((phi0, x0, n, A0 / r))
-    for j in range(1, rings + 1):
-        alpha = alpha_max * j / denom
-        band = 2 * math.pi * r * r * (
-            math.cos(edges[j - 1]) - math.cos(edges[j])
-        )
-        npts = 6 * j
-        for m in range(npts):
-            beta = 2 * math.pi * m / npts
-            d = (
-                -n * math.cos(alpha)
-                + (t1 * math.cos(beta) + t2 * math.sin(beta))
-                * math.sin(alpha)
+    samples = []  # (x_W, k_scale)
+
+    def cap_samples(center, r, n_dir, cap_rings):
+        """Direction-aware spherical-cap quadrature: hex rings with exact
+        band areas over a pi/4 half-angle cap (covers d <= 0.3 R)."""
+        F = contact_frame(n_dir)
+        t1, t2 = F[:, 0], F[:, 1]
+        alpha_max = math.pi / 4
+        denom = cap_rings + 0.5
+        edges = [alpha_max * (j + 0.5) / denom for j in range(cap_rings + 1)]
+        A0 = 2 * math.pi * r * r * (1 - math.cos(edges[0]))
+        out = [(center - r * n_dir, A0 / r)]
+        for jr in range(1, cap_rings + 1):
+            alpha = alpha_max * jr / denom
+            band = 2 * math.pi * r * r * (
+                math.cos(edges[jr - 1]) - math.cos(edges[jr])
             )
-            x = c + r * d
-            phi, _ = sh.halfspace_sdf_point(Rh, ph, x)
-            out.append((phi, x, n, band / npts / r))
-    return out
+            npts = 6 * jr
+            for m in range(npts):
+                beta = 2 * math.pi * m / npts
+                dv = (
+                    -n_dir * math.cos(alpha)
+                    + (t1 * math.cos(beta) + t2 * math.sin(beta))
+                    * math.sin(alpha)
+                )
+                out.append((center + r * dv, band / npts / r))
+        return out
 
+    if isinstance(s, sh.Sphere):
+        _, n_dir = _other_sdf(g_other, R_o, p_o, p_s)
+        samples += cap_samples(p_s, s.radius, n_dir, rings)
 
-def _hydro_box_halfspace(g_soft, Rbox, pbox, Rh, ph, dtype):
-    """Quadrature patch over the compliant box's surface: an n x n grid of
-    cell centers on each of the 6 faces, n = hydro_rings + 1.  Per-point
-    k_scale = A_cell / h_k with h_k the half-extent along the face normal:
-    the elastic-foundation pressure p = E * depth / h_k, i.e. the
-    reference's compliant-box pressure field rising linearly from the
-    surface toward the center plane (geometry/proximity hydroelastic
-    field semantics; quadrature instead of marching meshes).  Side-face
-    points only engage at deep penetration; a flat-resting box integrates
-    to the analytic foundation force E * A * d / h_k."""
-    half = [s / 2.0 for s in g_soft.shape.size]
-    n = g_soft.hydro_rings + 1
+    elif isinstance(s, sh.Box):
+        half = [sz / 2.0 for sz in s.size]
+        n = rings + 1
+        for axis in range(3):
+            i, j = (axis + 1) % 3, (axis + 2) % 3
+            A_cell = (2 * half[i]) * (2 * half[j]) / (n * n)
+            for sgn in (-1.0, 1.0):
+                for mi in range(n):
+                    for mj in range(n):
+                        loc = [0.0, 0.0, 0.0]
+                        loc[axis] = sgn * half[axis]
+                        loc[i] = -half[i] + (mi + 0.5) * 2 * half[i] / n
+                        loc[j] = -half[j] + (mj + 0.5) * 2 * half[j] / n
+                        x = p_s + R_s @ jnp.asarray(loc, dtype)
+                        samples.append((x, A_cell / half[axis]))
+
+    else:  # Capsule: direction-aware band on the cylinder + end caps.
+        r, L = s.radius, s.length
+        _, n_dir = _other_sdf(g_other, R_o, p_o, p_s)
+        axis_W = R_s[:, 2]
+        # Circumferential "down" direction: n_dir with the axis component
+        # removed (a capsule's cylinder can only contact sideways).
+        side = -n_dir + axis_W * jnp.dot(axis_W, n_dir)
+        side = side / jnp.maximum(jnp.linalg.norm(side), 1e-9)
+        t_perp = jnp.cross(axis_W, side)
+        phi_max = math.pi / 4
+        n_ax = rings + 2
+        n_circ = 2 * rings + 1
+        dphi = 2 * phi_max / n_circ
+        A_cell = (L / n_ax) * (r * dphi)
+        for ia in range(n_ax):
+            z = -L / 2 + (ia + 0.5) * L / n_ax
+            for ic in range(n_circ):
+                phi_c = -phi_max + (ic + 0.5) * dphi
+                dv = side * math.cos(phi_c) + t_perp * math.sin(phi_c)
+                samples.append((p_s + axis_W * z + r * dv, A_cell / r))
+        # End caps: the sphere cap quadrature at each end, direction-aware,
+        # CLIPPED to the axis-outward hemisphere (the cylinder band already
+        # covers the inward half; without the clip a lying capsule double-
+        # counts half of each cap).  Boundary points get half weight.
+        cap_rings = max(1, rings // 2)
+        tol = 0.05 * r
+        for endsgn in (-1.0, 1.0):
+            e = p_s + endsgn * axis_W * (L / 2)
+            for x, k_scale in cap_samples(e, r, n_dir, cap_rings):
+                comp = jnp.dot(x - e, endsgn * axis_W)
+                w_clip = jnp.where(
+                    comp > tol, 1.0, jnp.where(comp < -tol, 0.0, 0.5)
+                )
+                samples.append((x, k_scale * w_clip))
+
     out = []
-    for axis in range(3):
-        i, j = (axis + 1) % 3, (axis + 2) % 3
-        A_cell = (2 * half[i]) * (2 * half[j]) / (n * n)
-        for sgn in (-1.0, 1.0):
-            for mi in range(n):
-                for mj in range(n):
-                    loc = [0.0, 0.0, 0.0]
-                    loc[axis] = sgn * half[axis]
-                    loc[i] = -half[i] + (mi + 0.5) * 2 * half[i] / n
-                    loc[j] = -half[j] + (mj + 0.5) * 2 * half[j] / n
-                    x = pbox + Rbox @ jnp.asarray(loc, dtype)
-                    phi, n_W = sh.halfspace_sdf_point(Rh, ph, x)
-                    out.append((phi, x, n_W, A_cell / half[axis]))
+    for x, k_scale in samples:
+        phi, n_W = _other_sdf(g_other, R_o, p_o, x)
+        out.append((phi, x, n_W, k_scale))
     return out
 
 
-def _hydro_sphere_sphere(g_soft, c, g_other, c_o, dtype):
-    """Cap quadrature on the compliant (softer) sphere facing the other:
-    per-point phi against the other sphere's surface, patch normal = line
-    of centers (the pressure-field gradient direction for spheres), same
-    hex-ring layout and A_i / R weights as the sphere-halfspace patch."""
-    import math
-
-    r = g_soft.shape.radius
-    r_o = g_other.shape.radius
-    rings = g_soft.hydro_rings
-    d = c - c_o
-    n = d / jnp.maximum(jnp.linalg.norm(d), 1e-9)  # from other into soft
-    F = contact_frame(n)
-    t1, t2 = F[:, 0], F[:, 1]
-    alpha_max = math.pi / 4
-    denom = rings + 0.5
-    edges = [alpha_max * (j + 0.5) / denom for j in range(rings + 1)]
-    out = []
-    x0 = c - r * n
-    out.append((
-        jnp.linalg.norm(x0 - c_o) - r_o, x0, n,
-        2 * math.pi * r * r * (1 - math.cos(edges[0])) / r,
-    ))
-    for jr in range(1, rings + 1):
-        alpha = alpha_max * jr / denom
-        band = 2 * math.pi * r * r * (
-            math.cos(edges[jr - 1]) - math.cos(edges[jr])
-        )
-        npts = 6 * jr
-        for m in range(npts):
-            beta = 2 * math.pi * m / npts
-            dv = (
-                -n * math.cos(alpha)
-                + (t1 * math.cos(beta) + t2 * math.sin(beta))
-                * math.sin(alpha)
-            )
-            x = c + r * dv
-            out.append((
-                jnp.linalg.norm(x - c_o) - r_o, x, n, band / npts / r,
-            ))
-    return out
+def _hydro_count(g_soft) -> int:
+    """Static contact count of a hydro patch (must match _hydro_patch)."""
+    r = g_soft.hydro_rings
+    if isinstance(g_soft.shape, sh.Box):
+        return 6 * (r + 1) ** 2
+    if isinstance(g_soft.shape, sh.Capsule):
+        rc = max(1, r // 2)
+        return (r + 2) * (2 * r + 1) + 2 * (1 + 3 * rc * (rc + 1))
+    return 1 + 3 * r * (r + 1)
 
 
 def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
@@ -450,12 +470,7 @@ def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
         soft_first = g_soft is ga
         R_s, p_s = (Ra, pa) if soft_first else (Rb, pb)
         R_o, p_o = (Rb, pb) if soft_first else (Ra, pa)
-        if isinstance(g_soft.shape, sh.Box):
-            out = _hydro_box_halfspace(g_soft, R_s, p_s, R_o, p_o, dtype)
-        elif isinstance(g_other.shape, sh.HalfSpace):
-            out = _hydro_sphere_halfspace(g_soft, p_s, R_o, p_o, dtype)
-        else:
-            out = _hydro_sphere_sphere(g_soft, p_s, g_other, p_o, dtype)
+        out = _hydro_patch(g_soft, R_s, p_s, g_other, R_o, p_o, dtype)
         if not soft_first:
             # Patch normals point from the other geometry INTO the soft
             # one; the ContactData convention is from B into A.

@@ -216,7 +216,7 @@ class TestHydroSphereSphere:
     must integrate to F = pi E d^2 r_o / (r + r_o) (-> pi E d^2 as
     r_o -> inf, the halfspace law)."""
 
-    def _scene(self, E_other=None):
+    def _scene(self, E_other=None, rings=4):
         b = ModelBuilder()
         b.add_body(
             "ball", parent=None, joint_type="floating", mass=1.0,
@@ -227,7 +227,7 @@ class TestHydroSphereSphere:
             CollisionGeometry(
                 name="ball", body=0, shape=sh.Sphere(R_SPH),
                 friction=0.5, dissipation=0.05,
-                hydroelastic_modulus=E_MOD, hydro_rings=4,
+                hydroelastic_modulus=E_MOD, hydro_rings=rings,
             ),
             CollisionGeometry(
                 name="anchor", body=-1, shape=sh.Sphere(R_SPH),
@@ -237,20 +237,43 @@ class TestHydroSphereSphere:
         ]
         return model, params, CollisionScene.build(geoms)
 
+    @staticmethod
+    def _exact_foundation_fz(d):
+        """Exact elastic-foundation normal force between equal spheres:
+        F_z = (E/R) * integral of depth * n_z over the soft sphere surface
+        (1-D integral in the polar angle; the paraboloid closed form
+        pi E d^2 r_o/(r+r_o) is only valid for d << R)."""
+        c = 2 * R_SPH - d
+        al = np.linspace(0.0, np.pi / 2, 40001)
+        l = np.sqrt(R_SPH**2 + c**2 - 2 * c * R_SPH * np.cos(al))
+        depth = np.maximum(R_SPH - l, 0.0)
+        nz = (c - R_SPH * np.cos(al)) / l
+        integ = (E_MOD / R_SPH) * depth * nz * 2 * np.pi * R_SPH**2 * np.sin(al)
+        return float(np.trapezoid(integ, al))
+
     def test_patch_force_matches_analytic(self):
-        model, params, scene = self._scene()
-        assert scene.num_contacts == 1 + 6 + 12 + 18 + 24
+        """Tightened from the round-2 7%: the quadrature patch integrates
+        the foundation pressure to within 6% of the EXACT 1-D integral for
+        d/R in [0.1, 0.3] (the validity envelope documented on
+        _hydro_patch; as d -> 0 the absolute force vanishes and any static
+        quadrature loses relative accuracy)."""
+        model, params, scene = self._scene(rings=6)
         for d in (0.01, 0.02, 0.03):
             q = jnp.asarray([1, 0, 0, 0, 0.0, 0.0, 2 * R_SPH - d], F64)
             contact = scene.query(model, params, q)
             pen = jnp.maximum(-contact.phi, 0.0)
-            F = float(jnp.sum(contact.stiffness * pen))
-            F_exact = np.pi * E_MOD * d * d * 0.5  # r_o/(r+r_o) = 1/2
-            np.testing.assert_allclose(F, F_exact, rtol=0.15, err_msg=str(d))
-            # Patch normal = line of centers (vertical here).
+            Fz = float(jnp.sum(contact.stiffness * pen * contact.n_W[:, 2]))
             np.testing.assert_allclose(
-                np.asarray(contact.n_W[:, 2]), 1.0, atol=1e-12
+                Fz, self._exact_foundation_fz(d), rtol=0.06, err_msg=str(d)
             )
+            # Paraboloid closed form at its own validity point (d = 0.1 R).
+            if d == 0.01:
+                np.testing.assert_allclose(
+                    Fz, np.pi * E_MOD * d * d * 0.5, rtol=0.06
+                )
+        # Per-point normals follow the other sphere's SDF; the deepest
+        # (center) point's normal is the line of centers.
+        assert float(contact.n_W[0, 2]) > 0.999
 
     def test_compliant_compliant_combines_moduli(self):
         model, params, soft_rigid = self._scene()
@@ -262,3 +285,129 @@ class TestHydroSphereSphere:
         F2 = float(jnp.sum(c2.stiffness * jnp.maximum(-c2.phi, 0)))
         # Series combination: equal moduli halve the effective stiffness.
         np.testing.assert_allclose(F2, F1 / 2, rtol=1e-9)
+
+
+class TestHydroBoxBox:
+    """Compliant box vs RIGID BOX (the generalized patch of VERDICT round-2
+    item 5): face-on-face foundation force is exact, and a hydroelastic box
+    stack settles through the SAP plant."""
+
+    def _world(self, rings=2):
+        b = ModelBuilder()
+        b.add_body(
+            "top", parent=None, joint_type="floating", mass=1.0,
+            inertia_com=np.diag([2e-3, 2e-3, 3e-3]),
+        )
+        model, params = b.build(F64)
+        geoms = [
+            CollisionGeometry(
+                name="top", body=0, shape=sh.Box((0.1, 0.1, 0.08)),
+                friction=0.6, dissipation=0.2,
+                hydroelastic_modulus=2e4, hydro_rings=rings,
+            ),
+            CollisionGeometry(
+                name="table", body=-1, shape=sh.Box((0.4, 0.4, 0.2)),
+                p_BG=(0.0, 0.0, 0.1), friction=0.6, stiffness=1e10,
+                dissipation=0.2,
+            ),
+            CollisionGeometry(
+                name="ground", body=-1, shape=sh.HalfSpace(), friction=0.6,
+                stiffness=1e10, dissipation=0.2,
+            ),
+        ]
+        return model, params, CollisionScene.build(geoms)
+
+    def test_flat_force_exact(self):
+        """Small box resting centered on the big box's top face: uniform
+        depth over the bottom face -> the quadrature is EXACT (<=1e-9,
+        well under the 3% bar)."""
+        model, params, scene = self._world(rings=2)
+        E, hz, area = 2e4, 0.04, 0.1 * 0.1
+        for d in (1e-3, 4e-3):
+            q = jnp.asarray([1, 0, 0, 0, 0.0, 0.0, 0.2 + hz - d], F64)
+            contact = scene.query(model, params, q)
+            pen = jnp.maximum(-contact.phi, 0.0)
+            F = float(jnp.sum(contact.stiffness * pen))
+            np.testing.assert_allclose(F, E * area * d / hz, rtol=1e-9)
+
+    def test_box_stack_settles(self):
+        """The VERDICT acceptance run: a compliant box dropped 1 mm above a
+        rigid box settles into foundation equilibrium without bouncing off
+        or sinking through."""
+        model, params, scene = self._world(rings=2)
+        dsys = cplant.make_discrete_system(model, params, scene, 2e-3)
+        E, hz, area = 2e4, 0.04, 0.1 * 0.1
+        d_eq = 1.0 * 9.81 * hz / (E * area)  # foundation equilibrium
+        x = model.default_state(F64)
+        x = x.at[6].set(0.2 + hz + 1e-3)
+        step = jax.jit(lambda xx: dsys.g(params, xx, jnp.zeros(0, F64)))
+        for _ in range(600):
+            x = step(x)
+        assert float(jnp.max(jnp.abs(x[7:]))) < 1e-3  # settled
+        np.testing.assert_allclose(
+            float(0.2 + hz - x[6]), d_eq, rtol=0.1
+        )
+
+
+class TestHydroCapsule:
+    """Compliant capsule patches (VERDICT round-2 item 5): the lying
+    line-contact force integrates to the exact 1-D foundation integral
+    within 3%."""
+
+    def _world(self, rings=6):
+        b = ModelBuilder()
+        b.add_body(
+            "cap", parent=None, joint_type="floating", mass=1.0,
+            inertia_com=np.eye(3) * 1e-3,
+        )
+        model, params = b.build(F64)
+        geoms = [
+            CollisionGeometry(
+                name="cap", body=0, shape=sh.Capsule(0.05, 0.3),
+                friction=0.5, dissipation=0.05,
+                hydroelastic_modulus=1e5, hydro_rings=rings,
+            ),
+            CollisionGeometry(
+                name="ground", body=-1, shape=sh.HalfSpace(),
+                friction=0.5, stiffness=1e10, dissipation=0.05,
+            ),
+        ]
+        return model, params, CollisionScene.build(geoms)
+
+    def test_lying_force_matches_exact_integral(self):
+        r, L, E = 0.05, 0.3, 1e5
+        model, params, scene = self._world(rings=6)
+        Rq = [np.cos(np.pi / 4), 0.0, np.sin(np.pi / 4), 0.0]  # axis -> x
+
+        def exact_F(d):
+            ph = np.linspace(-np.pi / 2, np.pi / 2, 40001)
+            Fc = (E / r) * L * np.trapezoid(
+                np.maximum(d - r * (1 - np.cos(ph)), 0.0) * r, ph
+            )
+            al = np.linspace(0, np.pi / 2, 40001)
+            Fs = (E / r) * np.trapezoid(
+                np.maximum(d - r * (1 - np.cos(al)), 0.0)
+                * 2 * np.pi * r * r * np.sin(al), al,
+            )
+            return Fc + Fs
+
+        for d in (0.005, 0.01, 0.015):
+            q = jnp.asarray(Rq + [0.0, 0.0, r - d], F64)
+            c = scene.query(model, params, q)
+            Fz = float(jnp.sum(
+                c.stiffness * jnp.maximum(-c.phi, 0.0) * c.n_W[:, 2]
+            ))
+            np.testing.assert_allclose(Fz, exact_F(d), rtol=0.03)
+
+    def test_lying_capsule_settles(self):
+        model, params, scene = self._world(rings=4)
+        dsys = cplant.make_discrete_system(model, params, scene, 2e-3)
+        x = model.default_state(F64)
+        Rq = [np.cos(np.pi / 4), 0.0, np.sin(np.pi / 4), 0.0]
+        x = x.at[:4].set(jnp.asarray(Rq, F64))
+        x = x.at[6].set(0.05)  # just touching
+        step = jax.jit(lambda xx: dsys.g(params, xx, jnp.zeros(0, F64)))
+        for _ in range(600):
+            x = step(x)
+        assert float(jnp.max(jnp.abs(x[7:]))) < 1e-3
+        assert 0.035 < float(x[6]) < 0.051  # supported, sane penetration
