@@ -218,3 +218,210 @@ def iris(
         region = HPolyhedron(A=A, b=b)
         E = _mvie(A, b, seed)
     return region, E
+
+
+# ---------------------------------------------------------------------------
+# Configuration-space IRIS over the plant's own collision geometry
+# (IrisInConfigurationSpace role, geometry/optimization/iris.h) and
+# clique-cover seeding (planning/iris/iris_from_clique_cover.h role).
+# ---------------------------------------------------------------------------
+
+
+def iris_in_configuration_space(
+    model,
+    params,
+    scene,
+    q_seed,
+    domain: HPolyhedron,
+    num_iterations: int = 4,
+    samples_per_iteration: int = 512,
+    max_planes_per_iteration: int = 10,
+    bisection_steps: int = 12,
+    padding: float = 0.0,
+    margin: float = 1e-3,
+    key=None,
+) -> Tuple[HPolyhedron, Hyperellipsoid]:
+    """Grow a C-SPACE polytope around ``q_seed`` certified against the
+    plant's collision pairs (the IrisInConfigurationSpace role).
+
+    Counterexample search is sampled (the IRIS-ZO / fast-IRIS style that
+    the reference's clique-cover pipeline also uses): draw configurations
+    from the current region's inscribed ellipsoid, keep colliding ones,
+    bisect each along the ray to the ellipsoid center to find the
+    free-to-colliding boundary, then cut with ellipsoid-metric tangent
+    planes at the closest counterexamples (nearest first, re-filtering
+    after every cut — the reference's SeparatingPlanes loop order).
+    All collision checks run batched on device (vmap over the scene query).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from drake_tpu.geometry.collision_checker import min_distance
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    q_seed = jnp.asarray(q_seed, jnp.float64)
+    n = q_seed.shape[0]
+    A_dom, b_dom = domain.A, domain.b
+    region = HPolyhedron(A=A_dom, b=b_dom)
+    E = Hyperellipsoid(C=jnp.eye(n, dtype=jnp.float64) / 1e-2, d=q_seed)
+
+    phi_of = jax.jit(
+        jax.vmap(lambda q: min_distance(model, params, scene, q))
+    )
+
+    def bisect_to_boundary(q_bad):
+        """Walk q_bad toward the ellipsoid center to the last colliding
+        point (fixed-count bisection; start point IS colliding)."""
+
+        def body(carry, _):
+            lo, hi = carry  # lo: free t, hi: colliding t (q = d + t*(q_bad-d))
+            mid = 0.5 * (lo + hi)
+            q_mid = E.d + mid * (q_bad - E.d)
+            free = min_distance(model, params, scene, q_mid) > padding
+            return (jnp.where(free, mid, lo), jnp.where(free, hi, mid)), None
+
+        (lo, hi), _ = jax.lax.scan(
+            body, (jnp.asarray(0.0, jnp.float64), jnp.asarray(1.0, jnp.float64)),
+            None, length=bisection_steps,
+        )
+        return E.d + hi * (q_bad - E.d)
+
+    bisect_v = jax.jit(jax.vmap(bisect_to_boundary))
+
+    for it in range(num_iterations):
+        key, k1, k2 = jax.random.split(key, 3)
+        # Ellipsoid-uniform proposals clipped to the region.
+        u = jax.random.normal(k1, (samples_per_iteration, n), jnp.float64)
+        u = u / jnp.linalg.norm(u, axis=1, keepdims=True)
+        radii = jax.random.uniform(
+            k2, (samples_per_iteration, 1), jnp.float64
+        ) ** (1.0 / n)
+        qs = E.d + (radii * u) @ jnp.linalg.inv(E.C).T
+        inside = jnp.all(
+            qs @ region.A.T <= region.b[None, :] + 1e-12, axis=1
+        )
+        phis = phi_of(qs)
+        colliding = inside & (phis <= padding)
+        idx = np.where(np.asarray(colliding))[0]
+        if idx.size:
+            q_cex = np.asarray(bisect_v(qs[idx]))
+            # Ellipsoid-metric distances; cut nearest first.
+            dist = np.linalg.norm(
+                (q_cex - np.asarray(E.d)) @ np.asarray(E.C).T, axis=1
+            )
+            order = np.argsort(dist)
+            rows_a, rows_b = [], []
+            CtC = np.asarray(E.C).T @ np.asarray(E.C)
+            alive = np.ones(idx.size, bool)
+            for j in order:
+                if not alive[j] or len(rows_a) >= max_planes_per_iteration:
+                    continue
+                x_star = q_cex[j]
+                a = CtC @ (x_star - np.asarray(E.d))
+                nrm = np.linalg.norm(a)
+                if nrm < 1e-12:
+                    continue
+                a = a / nrm
+                b_val = float(a @ x_star) - margin
+                rows_a.append(a)
+                rows_b.append(b_val)
+                alive &= q_cex @ a <= b_val + 1e-12  # re-filter behind the cut
+            if rows_a:
+                A = jnp.concatenate(
+                    [region.A, jnp.asarray(np.stack(rows_a))], axis=0
+                )
+                b = jnp.concatenate(
+                    [region.b, jnp.asarray(np.asarray(rows_b))]
+                )
+                # Never cut the seed off.
+                viol = A @ q_seed - b
+                b = jnp.where(viol > 0, A @ q_seed + 1e-6, b)
+                region = HPolyhedron(A=A, b=b)
+        E = _mvie(region.A, region.b, q_seed)
+    return region, E
+
+
+def iris_from_clique_cover_seeds(
+    model,
+    params,
+    scene,
+    domain: HPolyhedron,
+    num_samples: int = 256,
+    num_seeds: int = 3,
+    visibility_samples: int = 8,
+    padding: float = 0.0,
+    key=None,
+):
+    """Greedy clique-cover SEEDING (iris_from_clique_cover.h role): sample
+    free configurations, build the visibility graph (batched edge checks),
+    repeatedly take the highest-degree vertex's clique-ish neighborhood,
+    and return each clique's Chebyshev-ish center as an IRIS seed.
+    Compose with iris_in_configuration_space per seed."""
+    import jax
+    import jax.numpy as jnp
+
+    from drake_tpu.geometry.collision_checker import check_configs, check_edge
+
+    if key is None:
+        key = jax.random.PRNGKey(1)
+    n = domain.A.shape[1]
+    # Axis-aligned sampling bounds read off the domain's box rows.
+    b_up = jnp.asarray(
+        np.array([
+            np.min(np.asarray(domain.b)[np.asarray(domain.A)[:, i] > 0.5])
+            if np.any(np.asarray(domain.A)[:, i] > 0.5) else 1.0
+            for i in range(n)
+        ])
+    )
+    b_lo = jnp.asarray(
+        np.array([
+            -np.min(np.asarray(domain.b)[np.asarray(domain.A)[:, i] < -0.5])
+            if np.any(np.asarray(domain.A)[:, i] < -0.5) else -1.0
+            for i in range(n)
+        ])
+    )
+    qs = jax.random.uniform(
+        key, (num_samples, n), jnp.float64,
+        minval=b_lo[None], maxval=b_up[None],
+    )
+    free = np.asarray(check_configs(model, params, scene, qs, padding))
+    qs_free = np.asarray(qs)[free]
+    m = qs_free.shape[0]
+    if m == 0:
+        return []
+    # Visibility graph (edge checks, batched per row).
+    vis = np.zeros((m, m), bool)
+    check_e = jax.jit(
+        jax.vmap(
+            lambda q1, q2: check_edge(
+                model, params, scene, q1, q2,
+                num_samples=visibility_samples, padding=padding,
+            )
+        )
+    )
+    for i in range(m):
+        qi = jnp.tile(jnp.asarray(qs_free[i])[None], (m, 1))
+        vis[i] = np.asarray(check_e(qi, jnp.asarray(qs_free)))
+    np.fill_diagonal(vis, False)
+    seeds = []
+    alive = np.ones(m, bool)
+    for _ in range(num_seeds):
+        deg = (vis & alive[None, :] & alive[:, None]).sum(axis=1)
+        deg[~alive] = -1
+        v = int(np.argmax(deg))
+        if deg[v] <= 0:
+            break
+        members = np.where(vis[v] & alive)[0].tolist() + [v]
+        center = np.mean(qs_free[members], axis=0)
+        from drake_tpu.geometry.collision_checker import check_config
+
+        if not bool(check_config(model, params, scene, jnp.asarray(center),
+                                 padding)):
+            # Clique mean can be in collision (non-convex free space):
+            # fall back to the member closest to the mean.
+            d2 = np.sum((qs_free[members] - center) ** 2, axis=1)
+            center = qs_free[members[int(np.argmin(d2))]]
+        seeds.append(center)
+        alive[members] = False
+    return seeds
