@@ -79,11 +79,6 @@ def solve_sap_sharded(
     while_loop divergence — every device runs the same schedule by
     construction.
     """
-    if data.R_lim.shape[0] or data.R_eq.shape[0] or data.R_pd.shape[0]:
-        raise NotImplementedError(
-            "sharded SAP covers the (large) contact family only; "
-            "assemble limit/holonomic/PD rows into the replicated problem"
-        )
     iters = iterations or (sap_params.unroll_iterations or 8)
     n_shards = mesh.shape[axis_name]
     nc0 = data.J.shape[0]
@@ -92,8 +87,21 @@ def solve_sap_sharded(
     dtype = v_guess.dtype
     K = sap_params.line_search_points
 
-    def local_newton(A, v_star, J, R, vhat, mu, v0):
+    # Small (O(nv)-row) constraint families — joint limits, holonomic
+    # equalities, implicit PD — are REPLICATED on every device: their
+    # gradient/Hessian terms are identical everywhere and add after the
+    # contact psum (folding them as extra contact rows would waste a 3-row
+    # cone projection per scalar row).
+    aux = (
+        data.J_lim, data.R_lim, data.vhat_lim,
+        data.J_eq, data.R_eq, data.vhat_eq,
+        data.J_pd, data.R_pd, data.vhat_pd, data.glim_pd,
+    )
+
+    def local_newton(A, v_star, J, R, vhat, mu, aux, v0):
         """Runs on every device with its constraint shard; psum reductions."""
+        (J_lim, R_lim, vhat_lim, J_eq, R_eq, vhat_eq,
+         J_pd, R_pd, vhat_pd, glim_pd) = aux
 
         def gamma_all(vc):
             return jax.vmap(_project_gamma)(
@@ -106,6 +114,37 @@ def solve_sap_sharded(
 
             return -jax.vmap(jax.jacfwd(gamma_one))(vc, R, vhat, mu)
 
+        def aux_gammas(v):
+            g_l = jnp.maximum((vhat_lim - J_lim @ v) / R_lim, 0.0)
+            g_e = (vhat_eq - J_eq @ v) / R_eq
+            g_p = jnp.clip((vhat_pd - J_pd @ v) / R_pd, -glim_pd, glim_pd)
+            return g_l, g_e, g_p
+
+        def aux_grad_hess(v):
+            g_l, g_e, g_p = aux_gammas(v)
+            grad = -(J_lim.T @ g_l) - (J_eq.T @ g_e) - (J_pd.T @ g_p)
+            act_l = (g_l > 0).astype(v.dtype) / R_lim
+            act_p = (
+                (jnp.abs(g_p) < glim_pd).astype(v.dtype) / R_pd
+                if R_pd.shape[0] else R_pd
+            )
+            H = (
+                (J_lim * act_l[:, None]).T @ J_lim
+                + (J_eq / R_eq[:, None]).T @ J_eq
+                + ((J_pd * act_p[:, None]).T @ J_pd
+                   if R_pd.shape[0] else 0.0)
+            )
+            return grad, H
+
+        def aux_cost(v):
+            g_l, g_e, g_p = aux_gammas(v)
+            y_p = (vhat_pd - J_pd @ v) / R_pd if R_pd.shape[0] else R_pd
+            return (
+                0.5 * jnp.sum(R_lim * g_l * g_l)
+                + 0.5 * jnp.sum(R_eq * g_e * g_e)
+                + jnp.sum(R_pd * (0.5 * g_p * g_p + g_p * (y_p - g_p)))
+            )
+
         def grad_hess(v):
             vc = jnp.einsum("cij,j->ci", J, v)
             gam = gamma_all(vc)
@@ -113,8 +152,9 @@ def solve_sap_sharded(
             g_part = -jnp.einsum("cij,ci->j", J, gam)
             H_part = jnp.einsum("cik,ckl,clj->ij",
                                 jnp.swapaxes(J, 1, 2), Gs, J)
-            g = A @ (v - v_star) + jax.lax.psum(g_part, axis_name)
-            H = A + jax.lax.psum(H_part, axis_name)
+            g_aux, H_aux = aux_grad_hess(v)
+            g = A @ (v - v_star) + g_aux + jax.lax.psum(g_part, axis_name)
+            H = A + H_aux + jax.lax.psum(H_part, axis_name)
             return g, H
 
         def cost_of(v):
@@ -123,8 +163,10 @@ def solve_sap_sharded(
                 vc, R, vhat, mu
             )
             dv = v - v_star
-            return 0.5 * dv @ (A @ dv) + jax.lax.psum(
-                jnp.sum(lc), axis_name
+            return (
+                0.5 * dv @ (A @ dv)
+                + aux_cost(v)
+                + jax.lax.psum(jnp.sum(lc), axis_name)
             )
 
         def body(v, _):
@@ -140,8 +182,16 @@ def solve_sap_sharded(
                 gam = gamma_all(vca)
                 dvc = jnp.einsum("cij,j->ci", J, dv)
                 local = -jnp.sum(gam * dvc)
-                return dv @ (A @ (va - v_star)) + jax.lax.psum(
-                    local, axis_name
+                g_l, g_e, g_p = aux_gammas(va)
+                d_aux = (
+                    -g_l @ (J_lim @ dv)
+                    - g_e @ (J_eq @ dv)
+                    - g_p @ (J_pd @ dv)
+                )
+                return (
+                    dv @ (A @ (va - v_star))
+                    + d_aux
+                    + jax.lax.psum(local, axis_name)
                 )
 
             f = jax.vmap(dcost)(alphas)
@@ -165,12 +215,13 @@ def solve_sap_sharded(
         return v_fin, gam_fin, gnorms[-1]
 
     spec_c = P(axis_name)
+    aux_specs = tuple(P() for _ in aux)
     out = shard_map(
         local_newton,
         mesh=mesh,
-        in_specs=(P(), P(), spec_c, spec_c, spec_c, spec_c, P()),
+        in_specs=(P(), P(), spec_c, spec_c, spec_c, spec_c, aux_specs, P()),
         out_specs=(P(), spec_c, P()),
-    )(data.A, data.v_star, data.J, data.R, data.vhat, data.mu, v_guess)
+    )(data.A, data.v_star, data.J, data.R, data.vhat, data.mu, aux, v_guess)
     v, gamma, res = out
     return SapSolution(
         v=v,

@@ -76,12 +76,33 @@ class TestShardedSap:
         v = f(data)
         assert bool(jnp.all(jnp.isfinite(v)))
 
-    def test_rejects_unsupported_families(self, mesh):
-        data = _synthetic_problem(nc=16, nv=6)
+    def test_full_families_match_dense_solver(self, mesh):
+        """Limit/holonomic/PD rows fold in REPLICATED (VERDICT round-2
+        item 9: the former NotImplementedError) — the sharded solve matches
+        the dense solver on a problem exercising every family."""
+        rng = np.random.default_rng(3)
+        nv = 12
+        data = _synthetic_problem(nc=96, nv=nv, seed=3)
+        eye = np.eye(nv)
         data = data._replace(
-            J_lim=jnp.ones((1, 6), F64),
-            R_lim=jnp.ones((1,), F64),
-            vhat_lim=jnp.zeros((1,), F64),
+            # Two active-ish joint limits.
+            J_lim=jnp.asarray(eye[[0, 5]], F64),
+            R_lim=jnp.asarray([0.05, 0.08], F64),
+            vhat_lim=jnp.asarray([0.3, -0.1], F64),
+            # One coupler-style equality between v1 and v2.
+            J_eq=jnp.asarray((eye[1] - 2.0 * eye[2])[None], F64),
+            R_eq=jnp.asarray([0.02], F64),
+            vhat_eq=jnp.asarray([0.1], F64),
+            # Two effort-limited PD rows (one saturating).
+            J_pd=jnp.asarray(eye[[3, 7]], F64),
+            R_pd=jnp.asarray([0.04, 0.04], F64),
+            vhat_pd=jnp.asarray([2.0, 0.05], F64),
+            glim_pd=jnp.asarray([0.5, 5.0], F64),
         )
-        with pytest.raises(NotImplementedError):
-            solve_sap_sharded(data, jnp.zeros(6, F64), mesh)
+        v0 = jnp.zeros(nv, F64)
+        dense = sap.solve_sap(data, v0, sap.SapParameters(max_iterations=60))
+        sharded = solve_sap_sharded(data, v0, mesh, iterations=30)
+        np.testing.assert_allclose(
+            np.asarray(sharded.v), np.asarray(dense.v), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(sharded.gamma), np.asarray(dense.gamma), atol=1e-6)
