@@ -18,6 +18,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import _harness
 
+import argparse
+
+parser = argparse.ArgumentParser()
+parser.add_argument(
+    "--implicit", action="store_true",
+    help="grid-level implicit contact Newton on the tile pipeline "
+         "(mpm/tiles_contact.py) instead of the explicit penalty",
+)
+args = parser.parse_args()
+
 if __name__ == "__main__":
     _harness.tpu_or_cpu_fallback()
 
@@ -72,6 +82,7 @@ def main():
         ),
         coupled_geometries=(0,),
         substeps_per_step=10, time_step=1e-2,
+        contact_model="implicit" if args.implicit else "penalty",
     )
     particles = mpm.make_particle_block(
         grid, (0.35, 0.42, 0.08), (0.45, 0.58, 0.18)
@@ -100,8 +111,10 @@ def main():
 
     out = rollout(states, us)
     float(out.particles.x.sum())
+    # Timed call on DIFFERENT inputs — the TPU tunnel caches repeated
+    # identical dispatches (BASELINE.md round-3 timing discipline).
     t0 = time.perf_counter()
-    out = rollout(states, us)
+    out = rollout(states, us * 1.0001)
     float(out.particles.x.sum())
     wall = time.perf_counter() - t0
 
@@ -110,6 +123,7 @@ def main():
     _harness.emit(
         f"coupled MPM+SAP batched substeps/s (K={K} rollouts, "
         f"{particles.x.shape[0]} particles, two-way impulses"
+        + (", implicit grid contact" if args.implicit else "")
         + (", CPU FALLBACK" if cpu else "") + ")",
         n_sub / wall,
         "substeps/s",

@@ -54,10 +54,14 @@ class CoupledWorld:
     # MPM-side contact model: "penalty" = explicit per-particle penalty
     # (mpm/coupling.py); "implicit" = the fork's grid-level contact Newton
     # (mpm/grid_contact.py, UpdateContact role) — stable at stiff k*dt and
-    # holds stiction.  With "implicit", `grid_contact_params` configures the
-    # solve and `contact_query_frequency` runs it every that-many substeps
+    # holds stiction.  "auto" (default) picks by the penalty's OWN
+    # stability bound (grid_contact.py docstring: explicit stable only for
+    # dt < ~2/sqrt(k_eff)): implicit when dt*sqrt(stiffness) >= 1.0 (half
+    # the bound, safety 2x), penalty otherwise.  With "implicit",
+    # `grid_contact_params` configures the solve and
+    # `contact_query_frequency` runs it every that-many substeps
     # (MpmConfigParams::contact_query_frequency role, cpu_mpm_model.h:17-26).
-    contact_model: str = "penalty"
+    contact_model: str = "auto"
     grid_contact_params: Optional[object] = None
     contact_query_frequency: int = 1
     # With "implicit": host the substeps + contact Newton on the tile-slab
@@ -119,6 +123,19 @@ class CoupledWorld:
         h = self.time_step
 
         geoms = self.rigid_geoms(params, q, v)
+        contact_model = self.contact_model
+        if contact_model == "auto":
+            # Penalty is stability-limited to dt < ~2/sqrt(k_eff)
+            # (mpm/grid_contact.py docstring); switch to the implicit grid
+            # Newton at half that bound.
+            import math
+
+            stiff = (
+                self.mpm_config.dt
+                * math.sqrt(self.contact_params.stiffness)
+                >= 1.0
+            )
+            contact_model = "implicit" if stiff else "penalty"
         if self.cloth_config is not None:
             from drake_tpu.mpm import cloth as clothmod
 
@@ -127,6 +144,7 @@ class CoupledWorld:
                 s, imp = clothmod.cloth_substep(
                     self.mpm_config, self.cloth_config, s, geoms,
                     self.contact_params,
+                    contact_model=contact_model,
                 )
                 return (s, acc + imp), None
 
@@ -135,7 +153,7 @@ class CoupledWorld:
                 body, (state.particles, acc0), None,
                 length=self.substeps_per_step,
             )
-        elif self.contact_model == "implicit" and self.tiled:
+        elif contact_model == "implicit" and self.tiled:
             from drake_tpu.mpm import grid_contact as gcmod
             from drake_tpu.mpm import tiles
             from drake_tpu.mpm import tiles_contact as tcmod
@@ -179,7 +197,7 @@ class CoupledWorld:
                 body, (ss0, acc0), jnp.arange(self.substeps_per_step)
             )
             particles = tiles.tiles_to_state(ssf, state.particles)
-        elif self.contact_model == "implicit":
+        elif contact_model == "implicit":
             from drake_tpu.mpm import grid_contact as gcmod
 
             gc_params = (

@@ -266,6 +266,7 @@ def cloth_substep(
     state: ClothState,
     rigid_geoms=(),
     contact_params=None,
+    contact_model: str = "penalty",
 ) -> Tuple[ClothState, jnp.ndarray]:
     """One cloth MPM substep: FEM kick -> P2G -> grid -> G2P -> advect.
 
@@ -273,9 +274,40 @@ def cloth_substep(
     Mirrors the reference's substep loop (deformable_driver.h:240-260) with
     the CPU contact query replaced by on-device SDFs
     (drake_tpu.mpm.coupling).
+
+    contact_model="implicit" routes rigid contact through the grid-level
+    contact Newton (mpm/grid_contact.py, UpdateContact role) INSIDE the
+    grid stage — stiction-capable and stable at stiff k*dt, the solver the
+    fork's cloth demos (bagging, tshirt) run; "penalty" applies the
+    explicit per-particle model after G2P.
     """
     f_el = vertex_forces(cloth_config, state)
     p = _to_mpm_state(grid_config, state, f_el)
+
+    if rigid_geoms and contact_model == "implicit":
+        from drake_tpu.mpm import grid_contact as gcmod
+
+        gc_params = gcmod.GridContactParams(
+            **(
+                dict(
+                    stiffness=contact_params.stiffness,
+                    damping=contact_params.damping,
+                    friction=contact_params.friction,
+                    slip_velocity=contact_params.slip_velocity,
+                )
+                if contact_params is not None
+                else {}
+            )
+        )
+        grid = mpm.particle_to_grid(grid_config, p)
+        grid_vel = mpm.update_grid(grid_config, grid)
+        sol = gcmod.solve_grid_contact(
+            grid_config, gc_params, p, grid.mass, grid_vel, rigid_geoms
+        )
+        p = mpm.grid_to_particle(grid_config, p, sol.grid_vel)
+        new_state = state.replace(x=p.x, v=p.v, C=p.C)
+        return new_state, sol.impulses
+
     grid = mpm.particle_to_grid(grid_config, p)
     grid_vel = mpm.update_grid(grid_config, grid)
     p = mpm.grid_to_particle(grid_config, p, grid_vel)
@@ -299,12 +331,13 @@ def cloth_substep(
 
 def simulate_cloth(
     grid_config, cloth_config, state, num_substeps: int,
-    rigid_geoms=(), contact_params=None,
+    rigid_geoms=(), contact_params=None, contact_model: str = "penalty",
 ):
     def body(carry, _):
         s, acc = carry
         s, imp = cloth_substep(
-            grid_config, cloth_config, s, rigid_geoms, contact_params
+            grid_config, cloth_config, s, rigid_geoms, contact_params,
+            contact_model=contact_model,
         )
         acc = acc + imp if imp.shape == acc.shape else acc
         return (s, acc), None

@@ -29,6 +29,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="")
+    ap.add_argument(
+        "--implicit", action="store_true",
+        help="route cloth-rigid contact through the implicit grid-contact "
+             "Newton (mpm/grid_contact.py) instead of the explicit penalty",
+    )
     args = ap.parse_args()
 
     import jax
@@ -88,6 +93,7 @@ def main():
         coupled_geometries=(0,),  # the ball sphere
         substeps_per_step=20, time_step=1e-3,
         cloth_config=cfg,
+        contact_model="implicit" if args.implicit else "penalty",
     )
 
     # Ball dropped from just above the sheet center.

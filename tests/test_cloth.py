@@ -147,3 +147,46 @@ class TestMergeAndMesh:
                                    rtol=1e-6)
         np.testing.assert_allclose(np.asarray(g.Dm_inv), np.asarray(m.Dm_inv),
                                    rtol=1e-5)
+
+
+class TestClothImplicitContact:
+    def test_drape_on_sphere_implicit_matches_weight(self):
+        """Cloth draped over an anchored sphere with the IMPLICIT grid
+        contact (cloth_substep contact_model='implicit'): stays finite,
+        stays on top, and the accumulated normal impulse approaches the
+        sheet's weight impulse once settled."""
+        from drake_tpu.mpm import cloth as clothmod
+        from drake_tpu.mpm import coupling as cpl
+        from drake_tpu.mpm import solver as mpm
+
+        F32 = jnp.float32
+        grid = mpm.MpmConfig(
+            grid_size=(32, 32, 32), dx=1.0 / 32, dt=1e-4, wall_width=0
+        )
+        cfg = clothmod.ClothConfig()
+        sheet = clothmod.make_grid_cloth(
+            cfg, 9, 9, origin=(0.42, 0.42, 0.36), size=(0.16, 0.16)
+        )
+        ball = cpl.RigidGeom(
+            shape=sh.Sphere(0.1), body_index=-1,
+            R_WG=jnp.eye(3, dtype=F32),
+            p_WG=jnp.asarray([0.5, 0.5, 0.25], F32),
+            p_WB=jnp.asarray([0.5, 0.5, 0.25], F32),
+            V_WB=jnp.zeros(6, F32),
+        )
+        params = cpl.MpmContactParams(
+            stiffness=1e5, damping=20.0, friction=0.5
+        )
+        n_sub = 1500
+        state, acc = jax.jit(
+            lambda s: clothmod.simulate_cloth(
+                grid, cfg, s, n_sub, (ball,), params,
+                contact_model="implicit",
+            )
+        )(sheet)
+        assert bool(jnp.all(jnp.isfinite(state.x)))
+        # Sheet center rests on the ball top (0.35), not fallen through.
+        zc = float(state.x[:, 2].max())
+        assert zc > 0.33, zc
+        # Ball receives a downward impulse (weight transfer).
+        assert float(acc[0, 5]) < 0.0
