@@ -1,0 +1,414 @@
+"""Typed message schemas — the lcmtypes role.
+
+The reference ships ~50 ``.lcm`` schema files compiled to typed structs
+(reference: lcmtypes/*.lcm, e.g. lcmt_iiwa_command.lcm,
+lcmt_iiwa_status.lcm, lcmt_robot_state.lcm); channels carry messages whose
+STRUCTURE is checked at both ends by a schema fingerprint.  This module is
+the TPU framework's equivalent: plain dataclasses declared with
+``@message`` get
+
+  * a canonical binary wire format (little-endian scalars, length-prefixed
+    strings/arrays, nested messages),
+  * an 8-byte schema FINGERPRINT (hash of the field names/types in order,
+    the lcm int64 hash role) prepended to every encoded message and
+    verified on decode — structural mismatches fail loudly instead of
+    mis-parsing,
+  * Typed{Publisher,Subscriber} over the native pub/sub transport
+    (io/pubsub.py), the LcmPublisherSystem / LcmSubscriberSystem pairing.
+
+A starter schema set mirrors the reference's most-used lcmtypes field for
+field (iiwa/WSG/Jaco command+status, robot state, contact results, image,
+point cloud, drake_signal, header) so a reference user finds the same
+message surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import io as _io
+import struct
+from typing import Any, Dict, List, Optional, Type, get_args, get_origin
+
+import numpy as np
+
+_SCALARS = {
+    float: ("d", 8),
+    int: ("q", 8),
+    bool: ("?", 1),
+}
+
+
+def _type_tag(tp) -> str:
+    if tp in _SCALARS:
+        return tp.__name__
+    if tp is str:
+        return "str"
+    if tp is np.ndarray:
+        return "ndarray"
+    if get_origin(tp) is list:
+        return f"list[{_type_tag(get_args(tp)[0])}]"
+    if dataclasses.is_dataclass(tp):
+        return f"msg:{tp.__name__}:{schema_fingerprint(tp).hex()}"
+    raise TypeError(f"unsupported message field type: {tp!r}")
+
+
+def schema_fingerprint(cls) -> bytes:
+    """8-byte structural hash of the schema (field names + types, ordered)."""
+    desc = ";".join(
+        f"{f.name}:{_type_tag(f.type if not isinstance(f.type, str) else _resolve(cls, f.name))}"
+        for f in dataclasses.fields(cls)
+    )
+    return hashlib.sha256(
+        (cls.__name__ + "|" + desc).encode()
+    ).digest()[:8]
+
+
+def _resolve(cls, name):
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    return hints[name]
+
+
+def _field_types(cls):
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    return [(f.name, hints[f.name]) for f in dataclasses.fields(cls)]
+
+
+def _encode_value(buf, tp, val):
+    if tp in _SCALARS:
+        fmt, _ = _SCALARS[tp]
+        buf.write(struct.pack("<" + fmt, tp(val)))
+    elif tp is str:
+        raw = val.encode()
+        buf.write(struct.pack("<I", len(raw)))
+        buf.write(raw)
+    elif tp is np.ndarray:
+        a = np.asarray(val)
+        dt = a.dtype.str.encode()  # e.g. b'<f8'
+        buf.write(struct.pack("<B", a.ndim))
+        for d in a.shape:
+            buf.write(struct.pack("<I", d))
+        buf.write(struct.pack("<B", len(dt)))
+        buf.write(dt)
+        buf.write(np.ascontiguousarray(a).tobytes())
+    elif get_origin(tp) is list:
+        (sub,) = get_args(tp)
+        buf.write(struct.pack("<I", len(val)))
+        for item in val:
+            _encode_value(buf, sub, item)
+    elif dataclasses.is_dataclass(tp):
+        for name, ftp in _field_types(tp):
+            _encode_value(buf, ftp, getattr(val, name))
+    else:  # pragma: no cover
+        raise TypeError(f"unsupported message field type: {tp!r}")
+
+
+def _decode_value(buf, tp):
+    if tp in _SCALARS:
+        fmt, size = _SCALARS[tp]
+        return tp(struct.unpack("<" + fmt, buf.read(size))[0])
+    if tp is str:
+        (n,) = struct.unpack("<I", buf.read(4))
+        return buf.read(n).decode()
+    if tp is np.ndarray:
+        (ndim,) = struct.unpack("<B", buf.read(1))
+        shape = tuple(
+            struct.unpack("<I", buf.read(4))[0] for _ in range(ndim)
+        )
+        (dlen,) = struct.unpack("<B", buf.read(1))
+        dt = np.dtype(buf.read(dlen).decode())
+        count = int(np.prod(shape)) if shape else 1
+        data = buf.read(count * dt.itemsize)
+        return np.frombuffer(data, dt).reshape(shape).copy()
+    if get_origin(tp) is list:
+        (sub,) = get_args(tp)
+        (n,) = struct.unpack("<I", buf.read(4))
+        return [_decode_value(buf, sub) for _ in range(n)]
+    if dataclasses.is_dataclass(tp):
+        vals = {
+            name: _decode_value(buf, ftp) for name, ftp in _field_types(tp)
+        }
+        return tp(**vals)
+    raise TypeError(f"unsupported message field type: {tp!r}")  # pragma: no cover
+
+
+def encode(msg) -> bytes:
+    """Fingerprint-prefixed canonical encoding of a @message instance."""
+    cls = type(msg)
+    buf = _io.BytesIO()
+    buf.write(schema_fingerprint(cls))
+    for name, ftp in _field_types(cls):
+        _encode_value(buf, ftp, getattr(msg, name))
+    return buf.getvalue()
+
+
+def decode(cls, data: bytes):
+    """Decode bytes as ``cls``; raises ValueError on schema mismatch."""
+    buf = _io.BytesIO(data)
+    fp = buf.read(8)
+    want = schema_fingerprint(cls)
+    if fp != want:
+        raise ValueError(
+            f"schema fingerprint mismatch for {cls.__name__}: "
+            f"wire={fp.hex()} expected={want.hex()} — the sender used a "
+            "different message structure"
+        )
+    vals = {name: _decode_value(buf, ftp) for name, ftp in _field_types(cls)}
+    return cls(**vals)
+
+
+def message(cls):
+    """Decorator: dataclass + wire codec (the lcm-gen role)."""
+    cls = dataclasses.dataclass(cls)
+    cls.encode = encode
+    cls.decode = classmethod(lambda c, data: decode(c, data))
+    cls.fingerprint = classmethod(lambda c: schema_fingerprint(c))
+    return cls
+
+
+# ---------------------------------------------------------------------------
+# Typed channels over the native pub/sub transport.
+# ---------------------------------------------------------------------------
+
+
+class TypedPublisher:
+    """LcmPublisherSystem role: publish @message instances on a channel."""
+
+    def __init__(self, node, channel: str, cls):
+        self.node = node
+        self.channel = channel
+        self.cls = cls
+
+    def publish(self, msg):
+        if not isinstance(msg, self.cls):
+            raise TypeError(
+                f"channel {self.channel!r} carries {self.cls.__name__}, "
+                f"got {type(msg).__name__}"
+            )
+        self.node.publish(self.channel, encode(msg))
+
+
+class TypedSubscriber:
+    """LcmSubscriberSystem role: holds the latest decoded message."""
+
+    def __init__(self, node, channel: str, cls):
+        self.node = node
+        self.channel = channel
+        self.cls = cls
+        self.sub_id = node.subscribe(channel)
+        self.latest = None
+        self.count = 0
+
+    def poll(self):
+        self.node.handle(0)
+        while True:
+            msg = self.node.receive(self.sub_id)
+            if msg is None:
+                break
+            self.latest = decode(self.cls, msg[1])
+            self.count += 1
+        return self.latest
+
+
+# ---------------------------------------------------------------------------
+# The reference's core schema set (field-for-field with lcmtypes/*.lcm).
+# ---------------------------------------------------------------------------
+
+
+@message
+class lcmt_header:
+    """lcmtypes/lcmt_header.lcm"""
+
+    utime: int = 0
+    frame_name: str = ""
+    seq: int = 0
+
+
+@message
+class lcmt_iiwa_command:
+    """lcmtypes/lcmt_iiwa_command.lcm"""
+
+    utime: int = 0
+    joint_position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_torque: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+
+
+@message
+class lcmt_iiwa_status:
+    """lcmtypes/lcmt_iiwa_status.lcm"""
+
+    utime: int = 0
+    joint_position_measured: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_position_commanded: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_position_ipo: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_velocity_estimated: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_torque_measured: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_torque_commanded: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_torque_external: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+
+
+@message
+class lcmt_schunk_wsg_command:
+    """lcmtypes/lcmt_schunk_wsg_command.lcm"""
+
+    utime: int = 0
+    target_position_mm: float = 0.0
+    force: float = 0.0
+
+
+@message
+class lcmt_schunk_wsg_status:
+    """lcmtypes/lcmt_schunk_wsg_status.lcm"""
+
+    utime: int = 0
+    actual_position_mm: float = 0.0
+    actual_speed_mm_per_s: float = 0.0
+    actual_force: float = 0.0
+
+
+@message
+class lcmt_jaco_command:
+    """lcmtypes/lcmt_jaco_command.lcm"""
+
+    utime: int = 0
+    joint_position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_velocity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    finger_position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    finger_velocity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+
+
+@message
+class lcmt_jaco_status:
+    """lcmtypes/lcmt_jaco_status.lcm"""
+
+    utime: int = 0
+    joint_position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_velocity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_torque: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_torque_external: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_current: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    finger_position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    finger_velocity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    finger_torque: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    finger_current: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+
+
+@message
+class lcmt_robot_state:
+    """lcmtypes/lcmt_robot_state.lcm"""
+
+    utime: int = 0
+    joint_name: List[str] = dataclasses.field(default_factory=list)
+    joint_position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+
+
+@message
+class lcmt_point_pair_contact_info_for_viz:
+    """lcmtypes/lcmt_point_pair_contact_info_for_viz.lcm"""
+
+    timestamp: int = 0
+    body1_name: str = ""
+    body2_name: str = ""
+    contact_point: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )
+    contact_force: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )
+    normal: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )
+
+
+@message
+class lcmt_contact_results_for_viz:
+    """lcmtypes/lcmt_contact_results_for_viz.lcm (point-pair subset)."""
+
+    timestamp: int = 0
+    point_pair_contact_info: List[lcmt_point_pair_contact_info_for_viz] = (
+        dataclasses.field(default_factory=list)
+    )
+
+
+@message
+class lcmt_image:
+    """lcmtypes/lcmt_image.lcm (subset: one frame + raw data)."""
+
+    header: lcmt_header = dataclasses.field(default_factory=lcmt_header)
+    width: int = 0
+    height: int = 0
+    pixel_format: int = 0
+    channel_type: int = 0
+    data: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.uint8)
+    )
+
+
+@message
+class lcmt_point_cloud:
+    """lcmtypes/lcmt_point_cloud.lcm (xyz subset)."""
+
+    utime: int = 0
+    frame_name: str = ""
+    points: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3))
+    )
+
+
+@message
+class lcmt_drake_signal:
+    """lcmtypes/lcmt_drake_signal.lcm"""
+
+    timestamp: int = 0
+    coord: List[str] = dataclasses.field(default_factory=list)
+    val: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))

@@ -17,7 +17,7 @@ intrinsics (fx, fy, cx, cy), +z looking forward, +x right, +y down.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -181,6 +181,153 @@ def render(
     return RenderResult(
         depth=depth, label=label.astype(jnp.int32), normal=normal, rgb=rgb
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class Material:
+    """Per-geometry surface material (the render_gl/render_vtk material
+    role: geometry/render/render_material.h — diffuse + Blinn-Phong
+    specular + an optional procedural checker 'texture')."""
+
+    diffuse: Tuple[float, float, float] = (0.8, 0.8, 0.8)
+    specular: float = 0.3
+    shininess: float = 32.0
+    # checker_scale > 0 paints a world-xy checkerboard (the classic ground
+    # texture) blending `diffuse` with `checker_color` per cell.
+    checker_scale: float = 0.0
+    checker_color: Tuple[float, float, float] = (0.2, 0.2, 0.2)
+
+
+@dataclasses.dataclass(frozen=True)
+class DirectionalLight:
+    """Directional light (render_gl's light set role)."""
+
+    direction: Tuple[float, float, float] = (0.4, -0.3, 0.85)  # TOWARD it
+    color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    intensity: float = 1.0
+
+
+_DEFAULT_LIGHTS = (
+    DirectionalLight((0.4, -0.3, 0.85), (1.0, 1.0, 1.0), 0.9),
+    DirectionalLight((-0.5, 0.2, 0.6), (0.6, 0.65, 0.75), 0.35),
+)
+
+
+def render_rgb(
+    geoms: Sequence,
+    camera: CameraInfo,
+    X_WC,
+    materials: Sequence[Material],
+    lights: Sequence[DirectionalLight] = _DEFAULT_LIGHTS,
+    model=None,
+    params=None,
+    q=None,
+    ambient: float = 0.15,
+    shadows: bool = True,
+    background=(0.05, 0.07, 0.1),
+    max_depth: float = 10.0,
+    num_steps: int = 64,
+    shadow_steps: int = 24,
+):
+    """Full-color render: materials + multi-light Blinn-Phong shading +
+    sphere-traced soft shadows — the RGB engine the reference gets from
+    OpenGL/VTK rasterizers (geometry/render_gl/, render_vtk/), built on the
+    same differentiable SDF tracer as the depth/label camera.
+
+    Returns (rgb (H, W, 3) in [0, 1], RenderResult) — the geometry pass is
+    shared, so depth/label/normal come for free.
+    """
+    res = render(
+        geoms, camera, X_WC, model=model, params=params, q=q,
+        max_depth=max_depth, num_steps=num_steps,
+    )
+    R_WC, p_WC = X_WC
+    p_WC = jnp.asarray(p_WC)
+    dtype = p_WC.dtype
+    if model is not None:
+        R_WB, p_WB = kin.forward_kinematics(model, params, q)
+    else:
+        nb = max([g.body for g in geoms] + [0]) + 1
+        R_WB = jnp.tile(jnp.eye(3, dtype=dtype), (nb, 1, 1))
+        p_WB = jnp.zeros((nb, 3), dtype)
+    sdf = lambda p: scene_sdf(geoms, R_WB, p_WB, p)[0]
+
+    # Reconstruct hit points from the depth image (depth is along +z_C).
+    R_WC_j = jnp.asarray(R_WC)
+    fx, fy = camera.focal
+    cx, cy = camera.center
+    us = jnp.arange(camera.width, dtype=dtype)
+    vs = jnp.arange(camera.height, dtype=dtype)
+    U, V = jnp.meshgrid(us, vs)
+    d_C = jnp.stack(
+        [(U - cx) / fx, (V - cy) / fy, jnp.ones_like(U)], axis=-1
+    )
+    depth_safe = jnp.where(jnp.isfinite(res.depth), res.depth, max_depth)
+    p_hit = p_WC + jnp.einsum(
+        "ij,hwj->hwi", R_WC_j, d_C * depth_safe[..., None]
+    )
+
+    hit = res.label >= 0
+    n = res.normal
+    view = p_WC - p_hit
+    view = view / jnp.maximum(
+        jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9
+    )
+
+    # Material lookup per pixel.
+    diff_tab = jnp.asarray([m.diffuse for m in materials], dtype)
+    spec_tab = jnp.asarray([m.specular for m in materials], dtype)
+    shin_tab = jnp.asarray([m.shininess for m in materials], dtype)
+    chk_tab = jnp.asarray([m.checker_scale for m in materials], dtype)
+    chk_col = jnp.asarray([m.checker_color for m in materials], dtype)
+    lbl = jnp.clip(res.label, 0, len(materials) - 1)
+    base = diff_tab[lbl]
+    # Procedural checker in world xy (the ground-texture role).
+    scale = chk_tab[lbl]
+    cell = jnp.floor(p_hit[..., 0] * scale) + jnp.floor(p_hit[..., 1] * scale)
+    checker_on = (scale[...] > 0) & (jnp.mod(cell, 2.0) == 0.0)
+    base = jnp.where(checker_on[..., None], chk_col[lbl], base)
+
+    def soft_shadow(p0, ldir):
+        """Sphere-traced occlusion toward the light (1 = unoccluded)."""
+
+        def step(carry, _):
+            t, k = carry
+            phi = sdf(p0 + t * ldir)
+            k = jnp.minimum(k, jnp.clip(8.0 * phi / t, 0.0, 1.0))
+            return (t + jnp.clip(phi, 5e-3, 0.5), k), None
+
+        (t, k), _ = jax.lax.scan(
+            step, (jnp.asarray(2e-2, dtype), jnp.asarray(1.0, dtype)),
+            None, length=shadow_steps,
+        )
+        return k
+
+    rgb = ambient * base
+    for li in lights:
+        ldir = jnp.asarray(li.direction, dtype)
+        ldir = ldir / jnp.linalg.norm(ldir)
+        lcol = jnp.asarray(li.color, dtype) * li.intensity
+        ndl = jnp.clip(jnp.einsum("hwi,i->hw", n, ldir), 0.0, 1.0)
+        halfv = view + ldir
+        halfv = halfv / jnp.maximum(
+            jnp.linalg.norm(halfv, axis=-1, keepdims=True), 1e-9
+        )
+        ndh = jnp.clip(jnp.einsum("hwi,hwi->hw", n, halfv), 0.0, 1.0)
+        spec = spec_tab[lbl] * ndh ** shin_tab[lbl]
+        if shadows:
+            sh = jax.vmap(jax.vmap(soft_shadow))(
+                p_hit + 1e-2 * n, jnp.broadcast_to(ldir, p_hit.shape)
+            )
+        else:
+            sh = 1.0
+        rgb = rgb + (base * ndl[..., None] + spec[..., None]) * lcol * (
+            jnp.asarray(sh)[..., None] if shadows else 1.0
+        )
+
+    bg = jnp.asarray(background, dtype)
+    rgb = jnp.where(hit[..., None], jnp.clip(rgb, 0.0, 1.0), bg)
+    return rgb, res
 
 
 def look_at(eye, target, up=(0.0, 0.0, 1.0)):

@@ -1,0 +1,85 @@
+"""RGB render engine tests (sensors/camera.py render_rgb — materials,
+lights, soft shadows; the render_gl/render_vtk role, reference
+geometry/render_gl/, geometry/render_vtk/)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drake_tpu.geometry import shapes as sh
+from drake_tpu.geometry.scene import CollisionGeometry
+from drake_tpu.sensors import camera
+
+
+
+class TestRgbRender:
+    """RGB engine (camera.render_rgb): materials + lights + shadows — the
+    render_gl/render_vtk role on the SDF tracer."""
+
+    def _scene(self):
+        geoms = [
+            CollisionGeometry(name="ground", body=-1, shape=sh.HalfSpace(),
+                              friction=0.5),
+            CollisionGeometry(
+                name="ball", body=-1, shape=sh.Sphere(0.3),
+                p_BG=(0.0, 0.0, 0.3), friction=0.5,
+            ),
+        ]
+        mats = [
+            camera.Material(diffuse=(0.9, 0.9, 0.9), checker_scale=2.0,
+                            checker_color=(0.1, 0.1, 0.1)),
+            camera.Material(diffuse=(0.9, 0.1, 0.1), specular=0.5),
+        ]
+        cam = camera.CameraInfo(width=48, height=36, fov_y=1.0)
+        X = camera.look_at((1.6, 0.0, 1.0), (0.0, 0.0, 0.3))
+        return geoms, mats, cam, X
+
+    def test_rgb_colors_and_background(self):
+        geoms, mats, cam, X = self._scene()
+        rgb, res = camera.render_rgb(geoms, cam, X, mats)
+        rgb = np.asarray(rgb)
+        assert rgb.shape == (36, 48, 3)
+        assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+        lbl = np.asarray(res.label)
+        # Sphere pixels are red-dominant.
+        ball = lbl == 1
+        assert ball.sum() > 20
+        assert (rgb[ball][:, 0] > rgb[ball][:, 1]).mean() > 0.95
+        # Ground shows BOTH checker cells.
+        gnd = lbl == 0
+        bright = rgb[gnd][:, 0] > 0.3
+        assert 0.05 < bright.mean() < 0.95
+
+    def test_shadow_darkens_occluded_ground(self):
+        geoms, mats, cam, X = self._scene()
+        lights = (camera.DirectionalLight((0.0, 0.0, 1.0)),)  # straight up
+        rgb_s, res = camera.render_rgb(
+            geoms, cam, X, mats, lights=lights, shadows=True)
+        rgb_n, _ = camera.render_rgb(
+            geoms, cam, X, mats, lights=lights, shadows=False)
+        lbl = np.asarray(res.label)
+        gnd = lbl == 0
+        # With a vertical light the sphere shadows the ground under it:
+        # some ground pixels get meaningfully darker with shadows on.
+        diff = np.asarray(rgb_n)[gnd].mean(axis=1) - np.asarray(rgb_s)[gnd].mean(axis=1)
+        assert (diff > 0.2).sum() > 10
+
+    def test_rgb_differentiable(self):
+        geoms, mats, cam, X = self._scene()
+
+        def mean_red(dx):
+            g2 = [
+                geoms[0],
+                dataclasses.replace(geoms[1], p_BG=(float(0), 0.0, 0.3)),
+            ]
+            # differentiate wrt the light direction instead (geometry
+            # poses are static python here): shading is smooth in it.
+            lights = (camera.DirectionalLight((0.3 + dx, 0.0, 0.9)),)
+            rgb, _ = camera.render_rgb(
+                g2, cam, X, mats, lights=lights, shadows=False)
+            return jnp.mean(rgb)
+
+        g = jax.grad(mean_red)(jnp.asarray(0.0, jnp.float64))
+        assert bool(jnp.isfinite(g)) and abs(float(g)) > 1e-6
