@@ -22,6 +22,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 parser = argparse.ArgumentParser()
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--repeats", type=int, default=50)
+parser.add_argument(
+    "--chain", type=int, default=0,
+    help="chain N periods inside ONE jitted scan and report wall/N — "
+         "amortizes dispatch+readback to a single occurrence, the honest "
+         "per-solve latency through a high-latency tunnel (BASELINE.md "
+         "single-stream recipe)",
+)
 args = parser.parse_args()
 
 import jax
@@ -85,6 +92,34 @@ def main():
         x_next = dsys.g(params, x, res.us[0], 0.0)
         us_next = jnp.concatenate([res.us[1:], res.us[-1:]], axis=0)
         return x_next, us_next
+
+    if args.chain > 0:
+        N = args.chain
+
+        @jax.jit
+        def chained(x, us):
+            def body(carry, _):
+                xc, uc = carry
+                return period(xc, uc), None
+
+            (xf, uf), _ = jax.lax.scan(body, (x, us), None, length=N)
+            return xf, uf
+
+        xf, uf = chained(x0, us0)  # compile
+        float(xf.sum())
+        t0 = time.perf_counter()
+        xf2, _ = chained(xf, uf)  # timed on DIFFERENT inputs (tunnel cache)
+        float(xf2.sum())
+        per = (time.perf_counter() - t0) / N * 1e3
+        print(json.dumps({
+            "metric": "iiwa contact MPC single-stream solve latency "
+                      f"(chained x{N}, dispatch+readback amortized; "
+                      f"backend={jax.default_backend()})",
+            "value": round(per, 3),
+            "unit": "ms",
+            "vs_baseline": round(1.0 / max(per, 1e-9), 3),
+        }))
+        return
 
     x, us = x0, us0
     x, us = period(x, us)  # compile

@@ -459,6 +459,47 @@ def _hydro_count(g_soft) -> int:
     return 1 + 3 * r * (r + 1)
 
 
+def _spread_deepest(phi, pts, K: int):
+    """Indices of K deep contact vertices with SPATIAL SPREAD.
+
+    Pure top-K-by-depth can put every manifold point on one face edge
+    (box-stack chatter on decimated meshes); this takes the deepest vertex,
+    then greedily adds the candidate maximizing (depth + spread) from a
+    4K-deep candidate pool — a farthest-point-style manifold, the role of
+    the reference's contact-surface polygon centroids.  Static shapes,
+    fixed trip count."""
+    Kc = min(4 * K, phi.shape[0])
+    negd, cand = jax.lax.top_k(-phi, Kc)  # candidate pool, deepest first
+    depth = negd  # = -phi, larger is deeper
+    p_c = pts[cand]  # (Kc, 3)
+    # Scale so depth and distance compete on comparable units.
+    span = jnp.maximum(
+        jnp.max(jnp.linalg.norm(p_c - p_c[0], axis=1)), 1e-6
+    )
+    picked = jnp.zeros((K,), jnp.int32)
+    mind = jnp.full((Kc,), jnp.inf, phi.dtype)
+    taken = jnp.zeros((Kc,), bool)
+
+    def body(carry, k):
+        picked, mind, taken = carry
+        d2new = jnp.linalg.norm(p_c - p_c[picked[jnp.maximum(k - 1, 0)]],
+                                axis=1)
+        mind = jnp.where(k > 0, jnp.minimum(mind, d2new), mind)
+        score = depth + 0.5 * jnp.where(k > 0, mind, 0.0) / span * (
+            jnp.max(depth) - jnp.min(depth) + 1e-6
+        ) + jnp.where(k > 0, mind, 0.0)
+        score = jnp.where(taken, -jnp.inf, score)
+        j = jnp.argmax(score)
+        picked = picked.at[k].set(j.astype(jnp.int32))
+        taken = taken.at[j].set(True)
+        return (picked, mind, taken), None
+
+    (picked, _, _), _ = jax.lax.scan(
+        body, (picked, mind, taken), jnp.arange(K)
+    )
+    return cand[picked]
+
+
 def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
     """Returns a list of (phi, p_W, n_W[, k_scale]) with n_W pointing from
     B into A; optional k_scale multiplies the pair's combined stiffness."""
@@ -603,8 +644,8 @@ def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
         if n_W.ndim == 1:  # constant-normal shapes (halfspace)
             n_W = jnp.broadcast_to(n_W, verts_W.shape)
         K = min(8, a.num_vertices)
-        neg_phi, idx = jax.lax.top_k(-phi, K)
-        return [(-neg_phi[k], verts_W[idx[k]], n_W[idx[k]]) for k in range(K)]
+        idx = _spread_deepest(phi, verts_W, K)
+        return [(phi[idx[k]], verts_W[idx[k]], n_W[idx[k]]) for k in range(K)]
 
     raise NotImplementedError(
         f"no contact handler for {type(a).__name__}-{type(b).__name__}"

@@ -171,3 +171,47 @@ class TestBroadPhase:
         assert float(jnp.abs(xf[7:]).max()) < 0.05
         # Stays centered (no lateral drift through friction).
         assert float(jnp.abs(xf[4:6]).max()) < 0.01
+
+
+class TestManifoldSpread:
+    def test_deep_vertex_selection_spans_the_face(self):
+        """A densely-sampled flat-bottomed mesh resting on a halfspace: the
+        K-vertex manifold must SPAN the bottom face (pure top-K-by-depth
+        can put all points on one edge -> box-stack chatter)."""
+        rng = np.random.default_rng(0)
+        # 200 bottom vertices at z ~ -0.05 with tiny depth noise, corners
+        # included; a slab of top vertices far away.
+        bot = np.column_stack([
+            rng.uniform(-0.5, 0.5, 200),
+            rng.uniform(-0.5, 0.5, 200),
+            np.full(200, -0.05) + rng.uniform(0, 1e-5, 200),
+        ])
+        corners = np.array([
+            [x, y, -0.05] for x in (-0.5, 0.5) for y in (-0.5, 0.5)
+        ])
+        top = np.column_stack([
+            rng.uniform(-0.5, 0.5, 20),
+            rng.uniform(-0.5, 0.5, 20),
+            np.full(20, 0.05),
+        ])
+        mesh = sh.Mesh(vertices=np.concatenate([bot, corners, top]))
+        from drake_tpu.multibody.model import FLOATING, ModelBuilder
+
+        b = ModelBuilder()
+        b.add_body("m", parent=None, joint_type=FLOATING, mass=1.0,
+                   inertia_com=np.eye(3) * 0.01)
+        model, params = b.build(F64)
+        geoms = [
+            CollisionGeometry(name="ground", body=-1, shape=sh.HalfSpace(),
+                              friction=0.5),
+            CollisionGeometry(name="m", body=0, shape=mesh, friction=0.5),
+        ]
+        scene = CollisionScene.build(geoms)
+        q = jnp.asarray([1, 0, 0, 0, 0.0, 0.0, 0.049], F64)  # 1 mm deep
+        contact = scene.query(model, params, q)
+        pts = np.asarray(contact.p_W)
+        deep = np.asarray(contact.phi) < 0
+        assert deep.sum() == 8
+        xy = pts[deep][:, :2]
+        # The manifold spans most of the face in both axes.
+        assert np.ptp(xy[:, 0]) > 0.6 and np.ptp(xy[:, 1]) > 0.6, xy
