@@ -138,6 +138,7 @@ def ilqr_mpc_rollout(
     first_options: Optional[ilqr.IlqrOptions] = None,
     refresh_every: int = 0,
     x_bound: float = float("inf"),
+    u_rate_limit: Optional[float] = None,
 ) -> MpcRolloutResult:
     """Closed-loop MPC: at every sim step re-solve the horizon (warm-started
     by shifting the previous plan) and apply the first input.
@@ -188,6 +189,17 @@ def ilqr_mpc_rollout(
         # start, permanently killing the lane).
         ok_plan = jnp.all(jnp.isfinite(res.us))
         u_apply = jnp.where(ok_plan, res.us[0], us_warm[0])
+        if u_rate_limit is not None:
+            # Plan-jump damping: each re-solve may move the current-step
+            # input only u_rate_limit away from what the PREVIOUS plan
+            # intended for this step (us_warm[0]) — an applied-action trust
+            # region that suppresses the chattering plan flips RTI
+            # always-accept steps can produce around contact engagement.
+            u_apply = jnp.clip(
+                u_apply,
+                us_warm[0] - u_rate_limit,
+                us_warm[0] + u_rate_limit,
+            )
         x_next = sim_dynamics(params, x, u_apply, t)
         # Lane freeze: if this scenario's plant diverged (f32 blow-up on an
         # extreme rollout), hold its state instead of propagating NaN — one
