@@ -113,12 +113,20 @@ def main():
             [push_dir * (side / 2 + 0.055), jnp.zeros(1, x.dtype)]
         )
         ee_err = jnp.sum((p_ee - push_point) ** 2)
+        # Round-3 anti-smash shaping (BASELINE.md round-3 headline study):
+        # the round-2 failure tail was NOT unengageable draws — forensics
+        # showed 2/3 of failing lanes LAUNCHED the box (>0.5 m) — so the
+        # plan is penalized for box momentum (wvel) and for box speed
+        # beyond what the push needs (overspeed hinge).
+        box_sp2 = jnp.sum(x[nq + 10 : nq + 12] ** 2)  # planar box speed
         return (
             10.0 * box_err
             + 5.0 * ee_err
             + 0.01 * jnp.sum((x[:7] - q_arm) ** 2)
             + 1e-4 * jnp.sum((u - tau_g) ** 2)
             + 1e-4 * jnp.sum(x[nq:] ** 2)
+            + 0.02 * jnp.sum(x[nq + 7 : nq + 13] ** 2)
+            + 1.0 * jnp.maximum(box_sp2 - 0.25**2, 0.0)
         )
 
     def final_cost(p, x):
@@ -149,6 +157,9 @@ def main():
             options=light_options,
             sim_dynamics=dsys.g,
             first_options=first_options,
+            # Round-3: catches finite-but-diverged f32 lanes (|x| ~ 1e16
+            # without a NaN) that the isfinite lane guard misses.
+            x_bound=50.0,
         )
 
     key = jax.random.PRNGKey(0)
@@ -162,17 +173,20 @@ def main():
     float(res.xs.sum())  # host readback (block_until_ready is a no-op on the
     # tunneled backend)
 
-    n_rep = 2
+    # Timed call on a (trivially) different input: the tunnel caches
+    # repeated identical dispatches at small result sizes; perturbing costs
+    # nothing and keeps the measurement honest at every scale.
+    x0s_b = x0s.at[:, nq - 3].add(1e-6)
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        res = rollout(x0s)
-        float(res.xs.sum())
-    wall = (time.perf_counter() - t0) / n_rep
+    res_t = rollout(x0s_b)
+    float(res_t.xs.sum())
+    wall = time.perf_counter() - t0
 
     # Controller effectiveness: box moved toward its goal.
     err0 = jnp.linalg.norm(x0s[:, nq - 3 : nq - 1] - box_goal, axis=1)
     err1 = jnp.linalg.norm(res.xs[:, -1, nq - 3 : nq - 1] - box_goal, axis=1)
     n_progress = int(jnp.sum(err1 < err0))
+    med_err = float(jnp.median(err1))
 
     solves_per_s = batch * mpc_steps / wall
     print(
@@ -180,7 +194,7 @@ def main():
             {
                 "metric": "iiwa contact-implicit MPC solves/s/chip (SAP, 19-dof "
                 f"arm+box, horizon={horizon}, batch={batch}, f32, "
-                f"{n_progress}/{batch} progressing"
+                f"{n_progress}/{batch} progressing, median err {med_err:.3f}"
                 + (", CPU FALLBACK - tpu unresponsive" if on_cpu else "")
                 + ")",
                 "value": round(solves_per_s, 1),
