@@ -378,17 +378,18 @@ def _window_overlap_add(vals_rows, nbr_idx):
     dtype = vals_rows.dtype
     masks_np, shifts = _overlap_masks()
     masks = jnp.asarray(masks_np, dtype)
-    vals2d = jnp.concatenate(
-        [vals_rows.reshape(A * ch, 512), jnp.zeros((ch, 512), dtype)], axis=0
+    vals_p = jnp.concatenate(
+        [vals_rows, jnp.zeros((1, ch, 512), dtype)], axis=0
     )
-    row_idx = (
-        nbr_idx[:, :, None] * ch + jnp.arange(ch, dtype=jnp.int32)[None, None, :]
-    ).reshape(-1)
-    G = vals2d[row_idx].reshape(A, 27, ch, 512)
     win = jnp.zeros((A, ch, 512), dtype)
+    # Per-delta gather + masked lane-roll, accumulated in place.  (A prior
+    # version gathered all 27 neighbors into one (A, 27, ch, 512) buffer —
+    # 27x the window memory; under a K-vmapped CoupledWorld rollout that
+    # buffer alone blew the 16 GB HBM at compile time.)
     for d in range(27):
+        G_d = vals_p[nbr_idx[:, d]]  # (A, ch, 512)
         win = win + masks[d][None, None, :] * jnp.roll(
-            G[:, d], shifts[d], axis=-1
+            G_d, shifts[d], axis=-1
         )
     return win
 

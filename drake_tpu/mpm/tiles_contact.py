@@ -99,17 +99,13 @@ def blocks_to_windows(blk_vals: jnp.ndarray, nbr_idx: jnp.ndarray):
     ].set(blk_vals)
     masks_np, shifts = _overlap_masks()
     pmasks = jnp.asarray(_partition_masks(), dtype)
-    emb2d = jnp.concatenate(
-        [emb.reshape(A * ch, 512), jnp.zeros((ch, 512), dtype)], axis=0
-    )
-    row_idx = (
-        nbr_idx[:, :, None] * ch + jnp.arange(ch, dtype=jnp.int32)[None, None, :]
-    ).reshape(-1)
-    G = emb2d[row_idx].reshape(A, 27, ch, 512)
+    emb_p = jnp.concatenate([emb, jnp.zeros((1, ch, 512), dtype)], axis=0)
     win = jnp.zeros((A, ch, 512), dtype)
+    # Per-delta gather accumulated in place (no (A, 27, ch, 512) buffer —
+    # see tiles._window_overlap_add's HBM note).
     for d in range(27):
         win = win + pmasks[d][None, None, :] * jnp.roll(
-            G[:, d], shifts[d], axis=-1
+            emb_p[nbr_idx[:, d]], shifts[d], axis=-1
         )
     return win
 
