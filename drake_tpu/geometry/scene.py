@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from drake_tpu.geometry import scene_graph
 from drake_tpu.geometry import shapes as sh
 from drake_tpu.multibody import kinematics as kin
 from drake_tpu.multibody.model import MultibodyModel, MultibodyParams
@@ -60,6 +61,11 @@ class CollisionGeometry:
     hydroelastic_modulus: Optional[float] = None
     hydro_rings: int = 1  # quadrature rings (points = 1 + 6 + 12 + ...)
     friction: float = 1.0
+    # Role bitmask (scene_graph.PROXIMITY | ILLUSTRATION | PERCEPTION) —
+    # the geometry_roles.h assignment: only proximity-role geometries
+    # enter collision candidate pairs; visualizers/cameras select by the
+    # other roles (scene_graph.geometries_with_role).
+    roles: int = scene_graph.ALL_ROLES
 
 
 class ContactData(NamedTuple):
@@ -98,12 +104,16 @@ class CollisionScene:
         exclude_same_body: bool = True,
         exclude: Sequence[Tuple[str, str]] = (),
         model: Optional[MultibodyModel] = None,
+        filter_manager: Optional["scene_graph.CollisionFilterManager"] = None,
     ) -> "CollisionScene":
         """Enumerate candidate pairs (static broad phase).
 
         When ``model`` is given, pairs on parent-child adjacent bodies are
         filtered out — the ApplyDefaultCollisionFilters role
-        (multibody_plant.cc:1228)."""
+        (multibody_plant.cc:1228).  ``filter_manager`` applies user
+        CollisionFilterDeclarations (collision_filter_manager.h), and
+        geometries without the proximity role never enter pairs
+        (geometry_state.h role gating)."""
         pairs = []
         excl = {frozenset(e) for e in exclude}
 
@@ -114,11 +124,17 @@ class CollisionScene:
 
         for i, j in itertools.combinations(range(len(geometries)), 2):
             gi, gj = geometries[i], geometries[j]
+            if not (scene_graph.has_role(gi, scene_graph.PROXIMITY)
+                    and scene_graph.has_role(gj, scene_graph.PROXIMITY)):
+                continue
             if exclude_same_body and gi.body == gj.body:
                 continue
             if adjacent(gi.body, gj.body):
                 continue
             if frozenset((gi.name, gj.name)) in excl:
+                continue
+            if filter_manager is not None and filter_manager.is_filtered(
+                    gi.name, gj.name):
                 continue
             if isinstance(gi.shape, sh.HalfSpace) and isinstance(
                 gj.shape, sh.HalfSpace

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from drake_tpu.geometry import scene_graph
 from drake_tpu.geometry import shapes as sh
 from drake_tpu.multibody import kinematics as kin
 
@@ -120,8 +121,12 @@ def render(
     """Render depth/label/normal/shaded images of the collision scene.
 
     If (model, params, q) are given, body-attached geoms follow FK;
-    otherwise only world-anchored geoms render.
+    otherwise only world-anchored geoms render.  Only PERCEPTION-role
+    geometries render (geometry_roles.h: render engines consume the
+    perception role).
     """
+    geoms = [g for g in geoms
+             if scene_graph.has_role(g, scene_graph.PERCEPTION)]
     R_WC, p_WC = X_WC
     R_WC = jnp.asarray(R_WC)
     p_WC = jnp.asarray(p_WC)

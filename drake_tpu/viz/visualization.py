@@ -13,6 +13,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from drake_tpu.geometry import scene_graph
 from drake_tpu.geometry import shapes as sh
 from drake_tpu.multibody import kinematics as kin
 from drake_tpu.viz.meshcat import Meshcat, MeshcatAnimation
@@ -27,7 +28,11 @@ def add_scene_visualization(
     prefix: str = "plant",
 ) -> None:
     """Publish all geometries under ``prefix``; body-attached geoms live at
-    'prefix/<body>/<name>' so one set_transform per body moves them."""
+    'prefix/<body>/<name>' so one set_transform per body moves them.
+    Only ILLUSTRATION-role geometries are published (geometry_roles.h:
+    visualizers consume the illustration role)."""
+    geoms = [g for g in geoms
+             if scene_graph.has_role(g, scene_graph.ILLUSTRATION)]
     for k, g in enumerate(geoms):
         color = _PALETTE[k % len(_PALETTE)]
         path = f"{prefix}/body{g.body}/{g.name}"
