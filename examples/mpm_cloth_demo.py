@@ -35,6 +35,10 @@ def main():
     parser.add_argument("--frames", type=int, default=10)
     parser.add_argument("--substeps-per-frame", type=int, default=800)
     parser.add_argument("--out", default="/tmp/mpm_cloth_frames")
+    parser.add_argument(
+        "--meshcat-html", default="",
+        help="also bake the rollout into a standalone meshcat HTML file "
+        "(the fork's MeshcatVisualizer MpmPortData path)")
     args = parser.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -65,9 +69,11 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     state = c
+    mesh_frames = [np.asarray(c.x)]
     t0 = time.perf_counter()
     for frame in range(args.frames):
         state, acc = step(state)
+        mesh_frames.append(np.asarray(state.x))
         zr = (float(state.x[:, 2].min()), float(state.x[:, 2].max()))
         fz = float(-acc[0, 5]) / (args.substeps_per_frame * grid.dt)
         write_obj(os.path.join(args.out, f"cloth_{frame:04d}.obj"), state.x, c.faces)
@@ -79,6 +85,19 @@ def main():
     total = args.frames * args.substeps_per_frame
     print(f"{total} substeps in {wall:.1f}s -> {total / wall:.0f} substeps/s "
           f"({c.x.shape[0]} verts); OBJ frames in {args.out}")
+    if args.meshcat_html:
+        from drake_tpu.viz import mpm_visualization as mviz
+        from drake_tpu.viz.meshcat import Meshcat
+
+        viz = Meshcat()
+        viz.set_object("sphere", sh.Sphere(0.12), color=0xAAAAAA)
+        viz.set_transform("sphere", p=np.asarray(sphere.p_WG))
+        mviz.record_mpm_rollout(
+            viz, "cloth", mesh_frames, faces=np.asarray(c.faces),
+            frames_per_second=8.0)
+        with open(args.meshcat_html, "w") as f:
+            f.write(viz.static_html())
+        print(f"meshcat recording -> {args.meshcat_html}")
     weight = float(c.mass.sum()) * 9.81
     ok = abs(fz - weight) < 0.5 * weight  # settled support ~ cloth weight
     print("CLOTH-DRAPE", "SUCCESS" if ok else "PARTIAL (still settling)")

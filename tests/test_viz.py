@@ -369,3 +369,85 @@ class TestInertiaVisualizer:
         viz = Meshcat()
         add_inertia_visualization(viz, model, params)
         assert any("inertia/body0" in p for p in viz._objects)
+
+
+class TestMpmVisualization:
+    """The fork's MpmPortData/DrakeVisualizer-MPM role
+    (geometry/meshcat_visualizer.h, drake_visualizer.h)."""
+
+    def _frames(self, n=5, pts=20):
+        rng = np.random.default_rng(7)
+        base = rng.random((pts, 3)).astype(np.float32)
+        return [base + 0.01 * k for k in range(n)]
+
+    def test_publish_particles_height_colormap(self):
+        from drake_tpu.viz import mpm_visualization as mviz
+
+        m = Meshcat()
+        mviz.publish_mpm_particles(m, "mpm/cloud", self._frames(1)[0])
+        d = mp.unpackb(next(iter(m._objects.values())))
+        obj = d["object"]
+        assert obj["object"]["type"] == "Points"
+        attrs = obj["geometries"][0]["data"]["attributes"]
+        # (n, 3) input was transposed to meshcat's (3, n) convention and a
+        # height colormap was attached.
+        assert attrs["position"]["itemSize"] == 3
+        assert "color" in attrs
+
+    def test_publish_cloth_mesh(self):
+        from drake_tpu.viz import mpm_visualization as mviz
+
+        m = Meshcat()
+        verts = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        faces = np.asarray([[0, 1, 2]], np.int64)
+        mviz.publish_mpm_cloth(m, "mpm/cloth", verts, faces)
+        d = mp.unpackb(next(iter(m._objects.values())))
+        idx = d["object"]["geometries"][0]["data"]["index"]
+        assert idx["type"] == "Uint32Array"
+
+    def test_record_rollout_visibility_tracks(self):
+        from drake_tpu.viz import mpm_visualization as mviz
+
+        m = Meshcat()
+        frames = self._frames(4)
+        anim = mviz.record_mpm_rollout(m, "mpm/cloud", frames,
+                                       frames_per_second=8.0)
+        # One object per frame, only frame0 visible pre-play.
+        assert sum("mpm/cloud/frame" in p for p in m._objects) == 4
+        d = mp.unpackb(m._animation)
+        tracks = {a["path"]: a["clip"]["tracks"] for a in d["animations"]}
+        t0 = tracks["/drake_tpu/mpm/cloud/frame0"][0]
+        assert t0["name"] == ".visible" and t0["type"] == "boolean"
+        # frame1: off at 0, on at 1, off at 2.
+        t1 = tracks["/drake_tpu/mpm/cloud/frame1"][0]
+        keys = {k["time"]: k["value"] for k in t1["keys"]}
+        assert keys == {0: False, 1: True, 2: False}
+        # last frame stays on (no off-key after it).
+        t3 = tracks["/drake_tpu/mpm/cloud/frame3"][0]
+        assert max(k["time"] for k in t3["keys"]) == 3
+
+    def test_record_composes_with_rigid_animation(self):
+        from drake_tpu.viz import mpm_visualization as mviz
+
+        m = Meshcat()
+        anim = MeshcatAnimation(frames_per_second=8.0)
+        anim.set_transform(0, "plant/body0", p=(0, 0, 0))
+        frames = self._frames(3)
+        faces = np.asarray([[0, 1, 2]], np.uint32)
+        out = mviz.record_mpm_rollout(
+            m, "mpm/cloth", frames, faces=faces, animation=anim,
+            publish=False)
+        assert out is anim
+        assert m._animation is None  # deferred publish
+        m.set_animation(anim)
+        d = mp.unpackb(m._animation)
+        paths = {a["path"] for a in d["animations"]}
+        assert "/drake_tpu/plant/body0" in paths
+        assert "/drake_tpu/mpm/cloth/frame2" in paths
+
+    def test_max_frames_stride(self):
+        from drake_tpu.viz import mpm_visualization as mviz
+
+        m = Meshcat()
+        mviz.record_mpm_rollout(m, "mpm/c", self._frames(30), max_frames=10)
+        assert sum("mpm/c/frame" in p for p in m._objects) == 10
