@@ -29,9 +29,12 @@ __all__ = [
     "Hyperellipsoid",
     "VPolytope",
     "Point",
+    "Spectrahedron",
+    "Intersection",
     "intersection",
     "cartesian_product",
     "minkowski_sum_boxes",
+    "minkowski_sum",
     "chebyshev_center",
     "ellipsoid_contains",
     "ellipsoid_from_sphere",
@@ -111,6 +114,75 @@ class Point(NamedTuple):
         return jnp.linalg.norm(self.x - jnp.asarray(y, self.x.dtype)) <= tol
 
 
+class Spectrahedron(NamedTuple):
+    """Affine slice of the PSD cone: {x : F0 + sum_i x_i Fi >= 0 (PSD)}
+    (geometry/optimization/spectrahedron.h role).
+
+    The reference wraps a MathematicalProgram's PSD constraints; here the
+    set is the LMI data directly — membership is a pure JAX eigenvalue
+    check (batched containment is one vmap), and the interior-point query
+    is the SDP  max t  s.t.  F(x) - t I >= 0  through the in-house
+    program container + ADMM conic backend.
+    """
+
+    F: jnp.ndarray  # (k+1, m, m) symmetric; F[0] is the constant term
+
+    @property
+    def ambient_dimension(self) -> int:
+        return self.F.shape[0] - 1
+
+    def matrix(self, x) -> jnp.ndarray:
+        x = jnp.asarray(x, self.F.dtype)
+        return self.F[0] + jnp.tensordot(x, self.F[1:], axes=1)
+
+    def contains(self, x, tol: float = 1e-7):
+        return jnp.linalg.eigvalsh(self.matrix(x))[0] >= -tol
+
+    def interior_point(self) -> Tuple[jnp.ndarray, float]:
+        """(x*, t*) maximizing the smallest eigenvalue margin t of F(x);
+        t* > 0 iff the spectrahedron has nonempty interior."""
+        from drake_tpu.solvers.program import MathematicalProgram
+
+        F = np.asarray(self.F, float)
+        k, m = F.shape[0] - 1, F.shape[1]
+        prog = MathematicalProgram()
+        xt = prog.NewContinuousVariables(k + 1, "xt")  # (x, t)
+        prog.AddLinearCost(np.concatenate([np.zeros(k), [-1.0]]), xt)
+        # F0 + sum x_i Fi - t I >= 0  as an LMI in (x, t).
+        lmi = [F[0]] + [F[1 + i] for i in range(k)] + [-np.eye(m)]
+        prog.AddLinearMatrixInequalityConstraint(lmi, xt)
+        # Bound t so the SDP is never unbounded (F(x) >= tI with t beyond
+        # the constant term's spectral radius is impossible anyway).
+        bound = float(np.abs(F).sum())
+        prog.AddLinearConstraint(
+            np.concatenate([np.zeros(k), [1.0]])[None], -bound, bound, xt
+        )
+        res = prog.Solve()
+        sol = np.atleast_1d(res.GetSolution(xt))
+        return jnp.asarray(sol[:k]), float(sol[k])
+
+
+class Intersection:
+    """Intersection of arbitrary member sets (intersection.h role) —
+    membership is the conjunction of member memberships."""
+
+    def __init__(self, *sets):
+        self.sets = tuple(sets)
+
+    def contains(self, x, tol: float = 1e-7):
+        inside = jnp.asarray(True)
+        for s in self.sets:
+            if isinstance(s, HPolyhedron):
+                inside = jnp.logical_and(
+                    inside, jnp.all(s.A @ jnp.asarray(x) <= s.b + tol)
+                )
+            elif isinstance(s, Hyperellipsoid):
+                inside = jnp.logical_and(inside, ellipsoid_contains(s, x, tol))
+            else:
+                inside = jnp.logical_and(inside, s.contains(x, tol))
+        return inside
+
+
 def intersection(a: HPolyhedron, b: HPolyhedron) -> HPolyhedron:
     """Intersection of half-space sets = stacked rows
     (intersection.h role for the polyhedral case)."""
@@ -139,6 +211,15 @@ def minkowski_sum_boxes(
         jnp.asarray(lower1) + jnp.asarray(lower2),
         jnp.asarray(upper1) + jnp.asarray(upper2),
     )
+
+
+def minkowski_sum(a: VPolytope, b: VPolytope) -> VPolytope:
+    """Exact Minkowski sum of V-polytopes (minkowski_sum.h role): the hull
+    of pairwise vertex sums (host-side qhull reduction)."""
+    Va = np.asarray(a.vertices, float)
+    Vb = np.asarray(b.vertices, float)
+    sums = (Va[:, None, :] + Vb[None, :, :]).reshape(-1, Va.shape[1])
+    return VPolytope.from_points(sums)
 
 
 def chebyshev_center(poly: HPolyhedron) -> Tuple[jnp.ndarray, float]:

@@ -84,3 +84,69 @@ class TestEllipsoidAndPoint:
         P = gopt.Point(jnp.asarray([1.0, 2.0], F64))
         assert bool(P.contains(jnp.asarray([1.0, 2.0])))
         assert not bool(P.contains(jnp.asarray([1.0, 2.1])))
+
+
+class TestSpectrahedron:
+    """Affine PSD slice (geometry/optimization/spectrahedron.h role)."""
+
+    def _disk(self):
+        # [[1+x, y], [y, 1-x]] >= 0  <=>  x^2 + y^2 <= 1.
+        import numpy as np
+
+        from drake_tpu.geometry.optimization import Spectrahedron
+
+        F0 = np.eye(2)
+        Fx = np.diag([1.0, -1.0])
+        Fy = np.asarray([[0.0, 1.0], [1.0, 0.0]])
+        return Spectrahedron(F=jnp.asarray(np.stack([F0, Fx, Fy])))
+
+    def test_membership_is_the_unit_disk(self):
+        s = self._disk()
+        assert bool(s.contains(jnp.asarray([0.3, 0.4])))
+        assert bool(s.contains(jnp.asarray([0.6, -0.79])))
+        assert not bool(s.contains(jnp.asarray([0.8, 0.7])))
+        assert not bool(s.contains(jnp.asarray([1.05, 0.0])))
+
+    def test_membership_vmaps(self):
+        s = self._disk()
+        xs = jnp.asarray([[0.0, 0.0], [0.9, 0.0], [0.9, 0.9]])
+        got = jax.vmap(s.contains)(xs)
+        assert got.tolist() == [True, True, False]
+
+    def test_interior_point_maximizes_margin(self):
+        s = self._disk()
+        x, t = s.interior_point()
+        # The analytic optimum: x = 0, margin t = 1 (eigs of I).
+        assert abs(float(x[0])) < 0.05 and abs(float(x[1])) < 0.05
+        assert abs(t - 1.0) < 0.05
+        assert bool(s.contains(x))
+
+
+class TestMinkowskiSumAndIntersection:
+    def test_vpolytope_minkowski_sum_exact(self):
+        from drake_tpu.geometry.optimization import (
+            VPolytope,
+            minkowski_sum,
+        )
+
+        a = VPolytope.from_box([-1.0, -1.0], [1.0, 1.0])
+        b = VPolytope.from_box([-0.5, -0.25], [0.5, 0.25])
+        s = minkowski_sum(a, b)
+        # Sum of boxes is the box of summed bounds: [-1.5,1.5]x[-1.25,1.25].
+        assert s.vertices.shape == (4, 2)
+        assert bool(s.contains(jnp.asarray([1.45, -1.2])))
+        assert not bool(s.contains(jnp.asarray([1.55, 0.0])))
+
+    def test_generic_intersection(self):
+        from drake_tpu.geometry.optimization import (
+            HPolyhedron,
+            Intersection,
+            ellipsoid_from_sphere,
+        )
+
+        box = HPolyhedron.box(jnp.asarray([-1.0, -1.0]), jnp.asarray([1.0, 1.0]))
+        ball = ellipsoid_from_sphere(jnp.asarray([0.5, 0.0]), 1.0)
+        inter = Intersection(box, ball)
+        assert bool(inter.contains(jnp.asarray([0.5, 0.5])))
+        assert not bool(inter.contains(jnp.asarray([-0.9, 0.0])))  # outside ball
+        assert not bool(inter.contains(jnp.asarray([1.2, 0.0])))  # outside box
