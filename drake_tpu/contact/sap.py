@@ -40,7 +40,7 @@ from drake_tpu.geometry.scene import CollisionScene, contact_frame
 from drake_tpu.math import rotations as rot
 from drake_tpu.multibody import dynamics as dyn
 from drake_tpu.multibody import kinematics as kin
-from drake_tpu.multibody.model import MultibodyModel, MultibodyParams
+from drake_tpu.multibody.model import _NV, MultibodyModel, MultibodyParams
 
 
 @dataclasses.dataclass(frozen=True)
@@ -273,9 +273,11 @@ def assemble(
     D = jnp.zeros(nv, dtype)
     for i, jt in enumerate(model.joint_types):
         vo = model.v_offsets[i]
-        nvi = {"revolute": 1, "prismatic": 1, "weld": 0, "floating": 6}[jt]
-        if nvi and jt in ("revolute", "prismatic"):
-            D = D.at[vo].set(params.damping[i])
+        nvi = _NV[jt]  # full joint zoo (revolute/prismatic/ball/planar/screw/...)
+        if nvi and jt != "floating":
+            # Per-dof viscous damping on every velocity of the joint (Drake
+            # applies Joint::damping() to each dof; floating bodies default 0).
+            D = D.at[vo : vo + nvi].set(params.damping[i])
     A = M + h * jnp.diag(D)
     # Bias WITHOUT damping (damping handled implicitly in A).
     C = dyn.bias_forces(model, params, q, v0, external_forces_W) - D * v0

@@ -43,11 +43,25 @@ def parse_obj(source: str, scale: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def convex_hull_vertices(verts: np.ndarray) -> np.ndarray:
-    """Vertices of the convex hull (qhull role)."""
-    from scipy.spatial import ConvexHull
+    """Vertices of the convex hull (qhull role).
 
-    hull = ConvexHull(np.asarray(verts, float))
-    return np.asarray(verts)[hull.vertices]
+    Degenerate (non-full-dimensional) clouds — collinear segments, coplanar
+    3-D patches — make plain qhull raise; retry with joggle ('QJ') and, if
+    that also fails, return the deduplicated cloud unreduced (still a valid
+    V-representation, just not minimal).  Mirrors the reference's tolerance
+    of flat sets in MinkowskiSum/VPolytope.
+    """
+    from scipy.spatial import ConvexHull, QhullError
+
+    v = np.asarray(verts, float)
+    try:
+        hull = ConvexHull(v)
+    except QhullError:
+        try:
+            hull = ConvexHull(v, qhull_options="QJ")
+        except QhullError:
+            return np.unique(v, axis=0)
+    return v[hull.vertices]
 
 
 def decimate_vertices(verts: np.ndarray, max_vertices: int) -> np.ndarray:

@@ -140,7 +140,12 @@ class Spectrahedron(NamedTuple):
 
     def interior_point(self) -> Tuple[jnp.ndarray, float]:
         """(x*, t*) maximizing the smallest eigenvalue margin t of F(x);
-        t* > 0 iff the spectrahedron has nonempty interior."""
+        t* > 0 iff the spectrahedron has nonempty interior.
+
+        The margin is CLAMPED to |t| <= sum|F| so the SDP is bounded even
+        for unbounded spectrahedra (e.g. F0=0, F1=I, where t can grow with
+        |x| without limit).  The sign of t* (the interior test) is exact;
+        the magnitude is only meaningful when the clamp is inactive."""
         from drake_tpu.solvers.program import MathematicalProgram
 
         F = np.asarray(self.F, float)
@@ -151,8 +156,9 @@ class Spectrahedron(NamedTuple):
         # F0 + sum x_i Fi - t I >= 0  as an LMI in (x, t).
         lmi = [F[0]] + [F[1 + i] for i in range(k)] + [-np.eye(m)]
         prog.AddLinearMatrixInequalityConstraint(lmi, xt)
-        # Bound t so the SDP is never unbounded (F(x) >= tI with t beyond
-        # the constant term's spectral radius is impossible anyway).
+        # Clamp t so the SDP is never unbounded.  For unbounded
+        # spectrahedra the true margin is +inf; the clamp keeps the solve
+        # well-posed and preserves sign(t*) — see the docstring.
         bound = float(np.abs(F).sum())
         prog.AddLinearConstraint(
             np.concatenate([np.zeros(k), [1.0]])[None], -bound, bound, xt

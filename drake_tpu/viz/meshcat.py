@@ -213,8 +213,10 @@ class Meshcat:
         self._send_set_object(path, obj)
 
     def set_points(self, path: str, positions: np.ndarray,
-                   colors: Optional[np.ndarray] = None, size: float = 0.01):
-        """Point cloud: positions (3, n) float; colors (3, n) in [0,1]."""
+                   colors: Optional[np.ndarray] = None, size: float = 0.01,
+                   color: int = 0xFFFFFF):
+        """Point cloud: positions (3, n) float; per-point colors (3, n) in
+        [0,1], or a single material ``color`` (hex) used when colors=None."""
         positions = np.asarray(positions, np.float32)
         data = {"position": TypedArray(positions)}
         if colors is not None:
@@ -227,7 +229,7 @@ class Meshcat:
         material = {
             "uuid": _uuid(),
             "type": "PointsMaterial",
-            "color": 0xFFFFFF,
+            "color": 0xFFFFFF if colors is not None else int(color),
             "size": size,
             "vertexColors": colors is not None,
         }

@@ -53,10 +53,10 @@ def publish_mpm_particles(
     directly).  With ``color=None`` a height colormap is applied.
     """
     pos = _positions_3n(positions)
-    colors = None if color is not None else height_colors(pos)
-    viz.set_points(path, pos, colors=colors, size=size)
     if color is not None:
-        viz.set_property(path, "color", int(color))
+        viz.set_points(path, pos, size=size, color=int(color))
+    else:
+        viz.set_points(path, pos, colors=height_colors(pos), size=size)
 
 
 def publish_mpm_cloth(
@@ -115,13 +115,19 @@ def record_mpm_rollout(
         # Only frame 0 is visible before the clip plays.
         if f_idx > 0:
             viz.set_property(sub, "visible", False)
-        # Visibility window [f_idx, f_idx + 1): boolean tracks hold their
-        # value until the next key, so one on-key and one off-key suffice.
+        # Visibility window [kept[i], kept[i+1]) keyed at ORIGINAL frame
+        # indices, so the clip spans the source timeline (n frames at the
+        # recording fps) regardless of stride and stays in sync with rigid
+        # tracks recorded at the same fps.  Boolean tracks hold their value
+        # until the next key, so one on-key and one off-key suffice.
         if f_idx > 0:
             anim.set_property(0, sub, "visible", "boolean", False)
-        anim.set_property(f_idx, sub, "visible", "boolean", True)
+        anim.set_property(k, sub, "visible", "boolean", True)
         if f_idx + 1 < len(kept):
-            anim.set_property(f_idx + 1, sub, "visible", "boolean", False)
+            anim.set_property(kept[f_idx + 1], sub, "visible", "boolean", False)
+        elif k < n - 1:
+            # Hold the last kept frame through the end of the source clip.
+            anim.set_property(n - 1, sub, "visible", "boolean", True)
     if publish:
         viz.set_animation(anim)
     return anim

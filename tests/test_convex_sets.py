@@ -137,6 +137,22 @@ class TestMinkowskiSumAndIntersection:
         assert bool(s.contains(jnp.asarray([1.45, -1.2])))
         assert not bool(s.contains(jnp.asarray([1.55, 0.0])))
 
+    def test_degenerate_minkowski_sum(self):
+        # Non-full-dimensional operands (collinear 2-D segments) must not
+        # raise (qhull degeneracy fallback): the sum is the segment
+        # [0,0]..[3,0], returned as a valid (possibly unreduced) VPolytope.
+        import numpy as np
+
+        from drake_tpu.geometry.optimization import VPolytope, minkowski_sum
+
+        a = VPolytope(vertices=jnp.asarray([[0.0, 0.0], [1.0, 0.0]]))
+        b = VPolytope(vertices=jnp.asarray([[0.0, 0.0], [2.0, 0.0]]))
+        s = minkowski_sum(a, b)
+        v = np.asarray(s.vertices)
+        assert np.allclose(v[:, 1], 0.0)
+        assert np.isclose(v[:, 0].min(), 0.0)
+        assert np.isclose(v[:, 0].max(), 3.0)
+
     def test_generic_intersection(self):
         from drake_tpu.geometry.optimization import (
             HPolyhedron,
