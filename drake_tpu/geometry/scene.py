@@ -283,16 +283,36 @@ def _contacts_per_pair(ga: CollisionGeometry, gb: CollisionGeometry) -> int:
         frozenset(("Box",)): 8,
         frozenset(("Capsule", "Box")): 3,
     }
-    if kinds == ("Mesh", "Mesh"):
+    if _hydro_pair(ga, gb) is not None:
+        # Hydro takes precedence (matches _pair_contacts dispatch order).
+        g_soft, _ = _hydro_pair(ga, gb)
+        return _hydro_count(g_soft)
+    a_sdf, b_sdf = isinstance(a, sh.MeshSdf), isinstance(b, sh.MeshSdf)
+    if isinstance(a, sh.Mesh) and isinstance(b, sh.Mesh):
+        if a_sdf or b_sdf:
+            # Vertex-vs-grid per available grid direction (non-convex OK).
+            n = 0
+            if a_sdf:
+                n += min(8, b.num_vertices)
+            if b_sdf:
+                n += min(8, a.num_vertices)
+            return n
         # Vertex-vs-hull both ways, K deepest each direction.
         return min(4, a.num_vertices) + min(4, b.num_vertices)
-    if "Mesh" in kinds:
+    if a_sdf or b_sdf:
+        ms = a if a_sdf else b
+        other = b if a_sdf else a
+        if isinstance(other, sh.Sphere):
+            return 1  # exact center-vs-grid
+        if isinstance(other, sh.Box):
+            return 8 + min(4, ms.num_vertices)
+        if isinstance(other, sh.Capsule):
+            return 3 + min(4, ms.num_vertices)
+        return min(8, ms.num_vertices)  # HalfSpace: sampled verts
+    if isinstance(a, sh.Mesh) or isinstance(b, sh.Mesh):
         # Mesh vs SDF shape: top-K deepest sampled vertices.
         mesh = a if isinstance(a, sh.Mesh) else b
         return min(8, mesh.num_vertices)
-    if _hydro_pair(ga, gb) is not None:
-        g_soft, _ = _hydro_pair(ga, gb)
-        return _hydro_count(g_soft)
     return table[frozenset(kinds)]
 
 
@@ -314,7 +334,7 @@ def _hydro_pair(ga, gb):
 
     def sdf_ok(g):
         return isinstance(
-            g.shape, (sh.HalfSpace, sh.Sphere, sh.Box, sh.Capsule)
+            g.shape, (sh.HalfSpace, sh.Sphere, sh.Box, sh.Capsule, sh.MeshSdf)
         )
 
     ok_a = soft(ga) and sdf_ok(gb)
@@ -342,6 +362,8 @@ def _other_sdf(g_other, R_o, p_o, x):
         return sh.sphere_sdf_point(R_o, p_o, s.radius, x)
     if isinstance(s, sh.Box):
         return sh.box_sdf_point(R_o, p_o, s.size, x)
+    if isinstance(s, sh.MeshSdf):
+        return sh.mesh_sdf_point(R_o, p_o, s, x)
     return sh.capsule_sdf_point(R_o, p_o, s.radius, s.length, x)
 
 
@@ -633,16 +655,92 @@ def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
         # Mesh vs SDF shape: signed distance of every sampled vertex to B,
         # keep the K deepest (differentiable: top_k gathers).  The role of
         # the reference's FCL mesh narrow phase for the supported shape set.
+        a_sdf = isinstance(a, sh.MeshSdf)
+
+        def grid_contacts(ms, R_m, p_m, pts_W, K):
+            """K deepest of pts_W against ms's SDF grid.  Grid normals
+            point OUT of the mesh (from the mesh into the sampled shape);
+            returned with that orientation — callers flip per convention."""
+            phi, n_W = sh.mesh_sdf_point(R_m, p_m, ms, pts_W)
+            idx = _spread_deepest(phi, pts_W, K)
+            return [(phi[idx[k]], pts_W[idx[k]], n_W[idx[k]]) for k in range(K)]
+
         if isinstance(b, sh.Mesh):
+            b_sdf = isinstance(b, sh.MeshSdf)
+            if a_sdf or b_sdf:
+                # Vertex-vs-grid (handles NON-convex meshes — the hull
+                # path below would fill cavities).
+                out = []
+                if a_sdf:
+                    vb_W = jnp.asarray(b.vertices, dtype) @ Rb.T + pb
+                    # Grid normal points from A into B; convention needs
+                    # from B into A.
+                    out += [
+                        (phi, p, -n)
+                        for phi, p, n in grid_contacts(
+                            a, Ra, pa, vb_W, min(8, b.num_vertices)
+                        )
+                    ]
+                if b_sdf:
+                    va_W = jnp.asarray(a.vertices, dtype) @ Ra.T + pa
+                    out += grid_contacts(
+                        b, Rb, pb, va_W, min(8, a.num_vertices)
+                    )
+                return out
             # Mesh-mesh: vertex-vs-convex-hull manifold, both directions
             # (geometry/mesh_contact.py; the FCL GJK/EPA role for convex
             # meshes — non-convex meshes contact by their hulls).
             from drake_tpu.geometry import mesh_contact as mc
 
             return mc.mesh_mesh_contacts(a, Ra, pa, b, Rb, pb, dtype)
+
         verts_W = (
             jnp.asarray(a.vertices, dtype) @ Ra.T + pa
         )  # (n, 3)
+        if a_sdf and isinstance(b, sh.Sphere):
+            # Exact: sphere center vs the grid (independent of the mesh's
+            # sample-vertex density).
+            phi_c, n_g = sh.mesh_sdf_point(Ra, pa, a, pb[None])
+            phi = phi_c[0] - b.radius
+            n_W = -n_g[0]  # from B (sphere) into A (mesh)
+            p_W = pb + n_g[0] * (b.radius + 0.5 * phi)
+            return [(phi, p_W, n_W)]
+        if a_sdf and isinstance(b, sh.Box):
+            corners = sh.box_corners(Rb, pb, b.size)  # (8, 3)
+            out = [
+                (phi, p, -n)
+                for phi, p, n in grid_contacts(a, Ra, pa, corners, 8)
+            ]
+            phi_v, n_v = sh.box_sdf_point(Rb, pb, b.size, verts_W)
+            K = min(4, a.num_vertices)
+            idx = _spread_deepest(phi_v, verts_W, K)
+            out += [
+                (phi_v[idx[k]], verts_W[idx[k]], n_v[idx[k]])
+                for k in range(K)
+            ]
+            return out
+        if a_sdf and isinstance(b, sh.Capsule):
+            e1, e2 = sh.capsule_segment_points(Rb, pb, b.length)
+            axis_pts = jnp.stack([e1, 0.5 * (e1 + e2), e2])
+            phi_ax, n_ax = sh.mesh_sdf_point(Ra, pa, a, axis_pts)
+            out = [
+                (
+                    phi_ax[k] - b.radius,
+                    axis_pts[k] + n_ax[k] * (b.radius + 0.5 * (phi_ax[k] - b.radius)),
+                    -n_ax[k],
+                )
+                for k in range(3)
+            ]
+            phi_v, n_v = sh.capsule_sdf_point(
+                Rb, pb, b.radius, b.length, verts_W
+            )
+            K = min(4, a.num_vertices)
+            idx = _spread_deepest(phi_v, verts_W, K)
+            out += [
+                (phi_v[idx[k]], verts_W[idx[k]], n_v[idx[k]])
+                for k in range(K)
+            ]
+            return out
         if isinstance(b, sh.HalfSpace):
             phi, n_W = sh.halfspace_sdf_point(Rb, pb, verts_W)
         elif isinstance(b, sh.Box):

@@ -89,6 +89,12 @@ def _geom_sdf(geom, R_WG, p_WG, p):
         )
     if isinstance(s, sh.HalfSpace):
         return sh.halfspace_sdf_point(R_WG, p_WG, p)[0]
+    if isinstance(s, sh.MeshSdf):
+        # Baked voxel-grid SDF: meshes render through the same sphere
+        # tracer (the role of the reference's mesh render engines).  The
+        # outside-the-grid bound is conservative, so tracing never
+        # overshoots the surface.
+        return sh.mesh_sdf_point(R_WG, p_WG, s, p)[0]
     raise TypeError(f"no SDF for {type(s)}")
 
 
