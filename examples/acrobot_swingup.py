@@ -87,7 +87,12 @@ def main():
         warm.us[jnp.clip(idx, 0, n_ilqr - 1)],
     )
     t_start = time.perf_counter()
-    sol = jax.jit(lambda z: dircol.solve(problem, params, z, SqpOptions()))(z0)
+    # 300 majors: the acrobot NLP converges slowly from some iLQR warm
+    # starts (roundoff-level warm-start changes moved it from ~100 to ~200
+    # required iterations; found by tools/run_examples.py).
+    sol = jax.jit(
+        lambda z: dircol.solve(problem, params, z, SqpOptions(max_iters=300))
+    )(z0)
     jax.block_until_ready(sol.xs)
     print(
         f"dircol: success={bool(sol.success)} viol={float(sol.constraint_violation):.1e} "
