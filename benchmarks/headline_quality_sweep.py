@@ -34,6 +34,9 @@ parser.add_argument("--k", type=float, default=1.5, help="brake slope 1/s")
 parser.add_argument("--floor", type=float, default=0.05)
 parser.add_argument("--whinge", type=float, default=1.0)
 parser.add_argument("--wvel", type=float, default=0.02)
+parser.add_argument(
+    "--refresh", type=int, default=0,
+    help="repeat the heavy first solve every k MPC steps (re-planning)")
 args = parser.parse_args()
 
 import jax
@@ -121,6 +124,7 @@ def main():
             options=light_options,
             sim_dynamics=dsys.g,
             first_options=first_options,
+            refresh_every=args.refresh,
             x_bound=50.0,
         )
 
@@ -153,7 +157,7 @@ def main():
     cfg = (
         f"fixed cap={args.cap}" if args.mode == "fixed"
         else f"brake k={args.k} floor={args.floor}"
-    )
+    ) + (f" refresh={args.refresh}" if args.refresh else "")
     print(
         f"[{cfg} whinge={args.whinge} wvel={args.wvel}] "
         f"progressing {n_progress}/{batch}  median err {med_err:.3f}  "

@@ -282,6 +282,11 @@ def _contacts_per_pair(ga: CollisionGeometry, gb: CollisionGeometry) -> int:
         frozenset(("Box", "HalfSpace")): 8,
         frozenset(("Box",)): 8,
         frozenset(("Capsule", "Box")): 3,
+        frozenset(("Sphere", "Cylinder")): 1,
+        frozenset(("Capsule", "Cylinder")): 2,
+        frozenset(("Box", "Cylinder")): 8,
+        frozenset(("Cylinder", "HalfSpace")): 6,
+        frozenset(("Cylinder",)): 12,
     }
     if _hydro_pair(ga, gb) is not None:
         # Hydro takes precedence (matches _pair_contacts dispatch order).
@@ -334,7 +339,9 @@ def _hydro_pair(ga, gb):
 
     def sdf_ok(g):
         return isinstance(
-            g.shape, (sh.HalfSpace, sh.Sphere, sh.Box, sh.Capsule, sh.MeshSdf)
+            g.shape,
+            (sh.HalfSpace, sh.Sphere, sh.Box, sh.Capsule, sh.Cylinder,
+             sh.MeshSdf),
         )
 
     ok_a = soft(ga) and sdf_ok(gb)
@@ -364,6 +371,8 @@ def _other_sdf(g_other, R_o, p_o, x):
         return sh.box_sdf_point(R_o, p_o, s.size, x)
     if isinstance(s, sh.MeshSdf):
         return sh.mesh_sdf_point(R_o, p_o, s, x)
+    if isinstance(s, sh.Cylinder):
+        return sh.cylinder_sdf_point(R_o, p_o, s.radius, s.length, x)
     return sh.capsule_sdf_point(R_o, p_o, s.radius, s.length, x)
 
 
@@ -538,6 +547,24 @@ def _spread_deepest(phi, pts, K: int):
     return cand[picked]
 
 
+def _cylinder_rim_points(R_WG, p_WG, radius, length, toward_W):
+    """6 rim sample points (3 per cap, at the support direction and ±120°
+    around the axis) biased toward ``toward_W``.  Lying: the 0° pair is
+    the deepest line contact; standing: the bottom-rim triple is an
+    equal-depth tripod (stable support polygon)."""
+    axis = R_WG[:, 2]
+    d = toward_W - jnp.dot(toward_W, axis) * axis
+    nd = jnp.linalg.norm(d)
+    u = jnp.where(nd > 1e-9, d / jnp.maximum(nd, 1e-9), R_WG[:, 0])
+    v = jnp.cross(axis, u)
+    pts = []
+    for s in (-0.5, 0.5):
+        c = p_WG + s * length * axis
+        for th in (0.0, 2.0944, -2.0944):  # 0, +-120 deg
+            pts.append(c + radius * (jnp.cos(th) * u + jnp.sin(th) * v))
+    return jnp.stack(pts)
+
+
 def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
     """Returns a list of (phi, p_W, n_W[, k_scale]) with n_W pointing from
     B into A; optional k_scale multiplies the pair's combined stiffness."""
@@ -565,6 +592,10 @@ def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
                 and isinstance(b, (sh.Sphere, sh.Capsule))
             )
             or (isinstance(a, sh.Sphere) and isinstance(b, sh.Capsule))
+            or (
+                isinstance(a, sh.Cylinder)
+                and isinstance(b, (sh.Sphere, sh.Capsule, sh.Box))
+            )
         )
     ):
         # Swap so the 'larger/static' shape is B; flip resulting normals.
@@ -592,6 +623,47 @@ def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
         phi = phi_c - a.radius
         p_W = pa - n_W * (a.radius + 0.5 * phi)
         return [(phi, p_W, n_W)]
+
+    if isinstance(a, sh.Sphere) and isinstance(b, sh.Cylinder):
+        phi_c, n_W = sh.cylinder_sdf_point(Rb, pb, b.radius, b.length, pa)
+        phi = phi_c - a.radius
+        p_W = pa - n_W * (a.radius + 0.5 * phi)
+        return [(phi, p_W, n_W)]
+
+    if isinstance(a, sh.Capsule) and isinstance(b, sh.Cylinder):
+        e1, e2 = sh.capsule_segment_points(Ra, pa, a.length)
+        out = []
+        for e in (e1, e2):
+            phi_c, n_W = sh.cylinder_sdf_point(
+                Rb, pb, b.radius, b.length, e
+            )
+            phi = phi_c - a.radius
+            out.append((phi, e - n_W * (a.radius + 0.5 * phi), n_W))
+        return out
+
+    if isinstance(a, sh.Box) and isinstance(b, sh.Cylinder):
+        # Box corners vs the cylinder SDF (curved-face-vs-box-face pairs
+        # resolve through the corners; adequate for resting/stacking).
+        corners = sh.box_corners(Ra, pa, a.size)
+        phi, n_W = sh.cylinder_sdf_point(Rb, pb, b.radius, b.length, corners)
+        return [(phi[k], corners[k], n_W[k]) for k in range(8)]
+
+    if isinstance(a, sh.Cylinder) and isinstance(b, sh.HalfSpace):
+        n_hs = Rb[:, 2]
+        rims = _cylinder_rim_points(Ra, pa, a.radius, a.length, -n_hs)
+        phi, n_W = sh.halfspace_sdf_point(Rb, pb, rims)
+        n_W = jnp.broadcast_to(n_W, rims.shape)
+        return [(phi[k], rims[k], n_W[k]) for k in range(rims.shape[0])]
+
+    if isinstance(a, sh.Cylinder) and isinstance(b, sh.Cylinder):
+        # Rim samples of each against the other's SDF, both directions.
+        rims_a = _cylinder_rim_points(Ra, pa, a.radius, a.length, pb - pa)
+        phi_a, n_a = sh.cylinder_sdf_point(Rb, pb, b.radius, b.length, rims_a)
+        out = [(phi_a[k], rims_a[k], n_a[k]) for k in range(rims_a.shape[0])]
+        rims_b = _cylinder_rim_points(Rb, pb, b.radius, b.length, pa - pb)
+        phi_b, n_b = sh.cylinder_sdf_point(Ra, pa, a.radius, a.length, rims_b)
+        out += [(phi_b[k], rims_b[k], -n_b[k]) for k in range(rims_b.shape[0])]
+        return out
 
     if isinstance(a, sh.Sphere) and isinstance(b, sh.Sphere):
         d = pa - pb
@@ -749,6 +821,10 @@ def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
             phi, n_W = sh.sphere_sdf_point(Rb, pb, b.radius, verts_W)
         elif isinstance(b, sh.Capsule):
             phi, n_W = sh.capsule_sdf_point(
+                Rb, pb, b.radius, b.length, verts_W
+            )
+        elif isinstance(b, sh.Cylinder):
+            phi, n_W = sh.cylinder_sdf_point(
                 Rb, pb, b.radius, b.length, verts_W
             )
         else:
