@@ -13,6 +13,7 @@ round); collision/visual geometry is read into drake_tpu.geometry primitives.
 
 from __future__ import annotations
 
+import os
 import xml.etree.ElementTree as ET
 from typing import Optional, Tuple
 
@@ -174,3 +175,156 @@ def joint_limits(source: str):
                 "velocity": float(lim.get("velocity", "inf")),
             }
     return out
+
+
+# ---------------------------------------------------------------------------
+# Collision-geometry extraction (Parser -> SceneGraph registration role).
+# ---------------------------------------------------------------------------
+
+_MESH_CACHE = {}
+
+
+def _parse_geometry_shape(geom_el, mesh_dir, mesh_mode, mesh_resolution):
+    """<geometry> child element -> drake_tpu.geometry shape (or None)."""
+    from drake_tpu.geometry import shapes as sh
+
+    box = geom_el.find("box")
+    if box is not None:
+        return sh.Box(tuple(np.fromstring(box.get("size"), sep=" ")))
+    sphere = geom_el.find("sphere")
+    if sphere is not None:
+        return sh.Sphere(float(sphere.get("radius")))
+    cyl = geom_el.find("cylinder")
+    if cyl is not None:
+        return sh.Cylinder(float(cyl.get("radius")), float(cyl.get("length")))
+    cap = geom_el.find("capsule")
+    if cap is None:
+        cap = _find_drake(geom_el, "capsule")
+    if cap is not None:
+        return sh.Capsule(float(cap.get("radius")), float(cap.get("length")))
+    mesh = geom_el.find("mesh")
+    if mesh is not None:
+        from drake_tpu.geometry.mesh_io import decimate_vertices, parse_obj
+
+        fn = mesh.get("filename")
+        scale = mesh.get("scale")
+        scale = float(scale.split()[0]) if scale else 1.0
+        path = fn
+        if mesh_dir is not None and not os.path.isabs(fn):
+            path = os.path.join(mesh_dir, fn)
+        key = (path, scale, mesh_mode, mesh_resolution)
+        if key not in _MESH_CACHE:
+            verts, faces = parse_obj(path, scale=scale)
+            if mesh_mode == "sdf" and faces.shape[0] > 0:
+                _MESH_CACHE[key] = sh.MeshSdf.from_mesh(
+                    verts, faces, resolution=mesh_resolution
+                )
+            else:
+                _MESH_CACHE[key] = sh.Mesh(
+                    vertices=decimate_vertices(verts, 64)
+                )
+        return _MESH_CACHE[key]
+    return None  # unsupported element (e.g. plane in URDF): skip
+
+
+def _find_drake(el, name):
+    """Find a drake-namespaced child whether or not xmlns:drake is bound
+    (tag 'drake:name' raw, or '{...}name' when the namespace is declared)."""
+    for child in el:
+        tag = child.tag
+        if tag == f"drake:{name}" or tag.endswith("}" + name):
+            return child
+    return None
+
+
+def _drake_proximity_props(col_el):
+    """drake:proximity_properties -> material overrides dict."""
+    out = {}
+    props = _find_drake(col_el, "proximity_properties")
+    if props is None:
+        return out
+    tag_map = {
+        "mu_dynamic": "friction",
+        "point_contact_stiffness": "stiffness",
+        "hunt_crossley_dissipation": "dissipation",
+        "hydroelastic_modulus": "hydroelastic_modulus",
+    }
+    for tag, field in tag_map.items():
+        el = _find_drake(props, tag)
+        if el is not None:
+            out[field] = float(el.get("value"))
+    return out
+
+
+def parse_urdf_geometry(
+    source: str,
+    model: MultibodyModel,
+    *,
+    mesh_dir: Optional[str] = None,
+    default_friction: float = 1.0,
+    default_stiffness: float = 1e6,
+    default_dissipation: float = 0.1,
+    mesh_mode: str = "points",
+    mesh_resolution: int = 48,
+) -> list:
+    """Extract CollisionGeometry descriptors from a URDF.
+
+    The role of the reference Parser's geometry registration
+    (multibody/parsing/detail_urdf_geometry.cc -> SceneGraph): every
+    <collision> element becomes a proximity-role CollisionGeometry on its
+    link's body (pose = the element's <origin>), every <visual> an
+    illustration/perception-role one.  Supported shapes: box, sphere,
+    cylinder, capsule (incl. drake:capsule), mesh (OBJ; ``mesh_mode`` =
+    'points' for the point-sampled Mesh, 'sdf' to bake a MeshSdf).
+    drake:proximity_properties supplies friction/stiffness/dissipation/
+    hydroelastic-modulus overrides, else the defaults apply.
+
+    Returns a list of geometry.scene.CollisionGeometry; feed it to
+    CollisionScene.build (with any extra world geoms, e.g. the ground).
+    """
+    from drake_tpu.geometry import scene_graph
+    from drake_tpu.geometry.scene import CollisionGeometry
+
+    if source.lstrip().startswith("<"):
+        root = ET.fromstring(source)
+    else:
+        if mesh_dir is None:
+            mesh_dir = os.path.dirname(os.path.abspath(source))
+        root = ET.parse(source).getroot()
+
+    geoms = []
+    for link in root.findall("link"):
+        lname = link.get("name")
+        try:
+            body = model.body_index(lname)
+        except (KeyError, ValueError):
+            continue  # link not in the parsed model (e.g. pruned subtree)
+        for role, tag in (
+            (scene_graph.PROXIMITY, "collision"),
+            (scene_graph.ILLUSTRATION | scene_graph.PERCEPTION, "visual"),
+        ):
+            for k, el in enumerate(link.findall(tag)):
+                geom_el = el.find("geometry")
+                if geom_el is None:
+                    continue
+                shape = _parse_geometry_shape(
+                    geom_el, mesh_dir, mesh_mode, mesh_resolution
+                )
+                if shape is None:
+                    continue
+                xyz, rpy = _parse_origin(el.find("origin"))
+                mat = dict(
+                    friction=default_friction,
+                    stiffness=default_stiffness,
+                    dissipation=default_dissipation,
+                )
+                mat.update(_drake_proximity_props(el))
+                name = el.get("name") or f"{lname}_{tag}{k}"
+                geoms.append(
+                    CollisionGeometry(
+                        name=name, body=body, shape=shape,
+                        R_BG=_rpy_matrix(rpy), p_BG=np.asarray(xyz),
+                        roles=role, **mat,
+                    )
+                )
+    return geoms

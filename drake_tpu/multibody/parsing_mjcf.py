@@ -379,3 +379,49 @@ def parse_mjcf(
 
     model, params = builder.build(dtype)
     return model, params, geoms_out
+
+
+def mjcf_geoms_to_collision(
+    geoms: List[MjcfGeom],
+    model: MultibodyModel,
+    *,
+    default_stiffness: float = 1e6,
+    default_dissipation: float = 0.1,
+    roles=None,
+) -> list:
+    """MjcfGeom descriptors -> geometry.scene.CollisionGeometry list.
+
+    The registration half of the reference's MJCF parsing
+    (detail_mujoco_parser.cc -> SceneGraph).  MJCF size semantics: sphere
+    [r], capsule/cylinder [r, half_length], box = HALF-sizes; plane ->
+    HalfSpace (body 'world' -> anchored, body index -1).
+    """
+    from drake_tpu.geometry import scene_graph
+    from drake_tpu.geometry import shapes as sh
+    from drake_tpu.geometry.scene import CollisionGeometry
+
+    out = []
+    for g in geoms:
+        if g.type == "sphere":
+            shape = sh.Sphere(float(g.size[0]))
+        elif g.type == "capsule":
+            shape = sh.Capsule(float(g.size[0]), 2.0 * float(g.size[1]))
+        elif g.type == "cylinder":
+            shape = sh.Cylinder(float(g.size[0]), 2.0 * float(g.size[1]))
+        elif g.type == "box":
+            shape = sh.Box(tuple(2.0 * np.asarray(g.size[:3])))
+        elif g.type == "plane":
+            shape = sh.HalfSpace()
+        else:  # mesh/ellipsoid/... not supported here
+            continue
+        body = -1 if g.body == "world" else model.body_index(g.body)
+        out.append(
+            CollisionGeometry(
+                name=g.name, body=body, shape=shape, R_BG=np.asarray(g.R),
+                p_BG=np.asarray(g.pos), friction=float(g.friction),
+                stiffness=default_stiffness,
+                dissipation=default_dissipation,
+                roles=scene_graph.ALL_ROLES if roles is None else roles,
+            )
+        )
+    return out

@@ -14,6 +14,7 @@ frame convention of MultibodyModel.
 
 from __future__ import annotations
 
+import os
 import xml.etree.ElementTree as ET
 from typing import Optional, Tuple
 
@@ -252,3 +253,132 @@ def sdf_joint_limits(model: MultibodyModel, source: str, dtype=jnp.float32):
         if lim.find("upper") is not None:
             upper[vo] = float(lim.find("upper").text)
     return jnp.asarray(lower, dtype), jnp.asarray(upper, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Collision-geometry extraction (detail_sdf_geometry.cc role).
+# ---------------------------------------------------------------------------
+
+
+def _sdf_shape(geom_el, mesh_dir, mesh_mode, mesh_resolution):
+    """SDF <geometry> element -> drake_tpu shape (or None).
+
+    SDF uses child-element text (<box><size>x y z</size></box>), unlike
+    URDF's attributes.  <plane> maps to HalfSpace (its pose supplies the
+    orientation)."""
+    from drake_tpu.geometry import shapes as sh
+
+    box = geom_el.find("box")
+    if box is not None:
+        return sh.Box(tuple(np.fromstring(box.find("size").text, sep=" ")))
+    sphere = geom_el.find("sphere")
+    if sphere is not None:
+        return sh.Sphere(float(sphere.find("radius").text))
+    cyl = geom_el.find("cylinder")
+    if cyl is not None:
+        return sh.Cylinder(
+            float(cyl.find("radius").text), float(cyl.find("length").text)
+        )
+    cap = geom_el.find("capsule")
+    if cap is not None:
+        return sh.Capsule(
+            float(cap.find("radius").text), float(cap.find("length").text)
+        )
+    plane = geom_el.find("plane")
+    if plane is not None:
+        return sh.HalfSpace()
+    mesh = geom_el.find("mesh")
+    if mesh is not None:
+        from drake_tpu.geometry.mesh_io import decimate_vertices, parse_obj
+
+        uri = mesh.find("uri").text.strip()
+        scale_el = mesh.find("scale")
+        scale = (
+            float(np.fromstring(scale_el.text, sep=" ")[0])
+            if scale_el is not None else 1.0
+        )
+        path = uri
+        if mesh_dir is not None and not os.path.isabs(uri):
+            path = os.path.join(mesh_dir, uri)
+        verts, faces = parse_obj(path, scale=scale)
+        if mesh_mode == "sdf" and faces.shape[0] > 0:
+            return sh.MeshSdf.from_mesh(verts, faces,
+                                        resolution=mesh_resolution)
+        return sh.Mesh(vertices=decimate_vertices(verts, 64))
+    return None
+
+
+def parse_sdf_geometry(
+    source: str,
+    model: MultibodyModel,
+    *,
+    mesh_dir: Optional[str] = None,
+    default_friction: float = 1.0,
+    default_stiffness: float = 1e6,
+    default_dissipation: float = 0.1,
+    mesh_mode: str = "points",
+    mesh_resolution: int = 48,
+) -> list:
+    """Extract CollisionGeometry descriptors from SDFormat.
+
+    The reference Parser's geometry registration for SDF models
+    (multibody/parsing/detail_sdf_geometry.cc): <collision> elements get
+    the proximity role, <visual> illustration+perception; element <pose>
+    composes into the link frame.  Friction comes from
+    <surface><friction><ode><mu>, drake:* proximity tags also apply
+    (mu_dynamic/point_contact_stiffness/hunt_crossley_dissipation/
+    hydroelastic_modulus, as in the URDF path).
+    """
+    from drake_tpu.geometry import scene_graph
+    from drake_tpu.geometry.scene import CollisionGeometry
+    from drake_tpu.multibody.parsing import (
+        _drake_proximity_props,
+        _find_drake,
+    )
+
+    if source.lstrip().startswith("<"):
+        root = ET.fromstring(source)
+    else:
+        if mesh_dir is None:
+            mesh_dir = os.path.dirname(os.path.abspath(source))
+        root = ET.parse(source).getroot()
+
+    geoms = []
+    for link in root.iter("link"):
+        lname = link.get("name")
+        try:
+            body = model.body_index(lname)
+        except (KeyError, ValueError):
+            continue
+        for role, tag in (
+            (scene_graph.PROXIMITY, "collision"),
+            (scene_graph.ILLUSTRATION | scene_graph.PERCEPTION, "visual"),
+        ):
+            for k, el in enumerate(link.findall(tag)):
+                geom_el = el.find("geometry")
+                if geom_el is None:
+                    continue
+                shape = _sdf_shape(
+                    geom_el, mesh_dir, mesh_mode, mesh_resolution
+                )
+                if shape is None:
+                    continue
+                xyz, rpy = _pose(el.find("pose"))
+                mat = dict(
+                    friction=default_friction,
+                    stiffness=default_stiffness,
+                    dissipation=default_dissipation,
+                )
+                mu_el = el.find("surface/friction/ode/mu")
+                if mu_el is not None:
+                    mat["friction"] = float(mu_el.text)
+                mat.update(_drake_proximity_props(el))
+                name = el.get("name") or f"{lname}_{tag}{k}"
+                geoms.append(
+                    CollisionGeometry(
+                        name=name, body=body, shape=shape,
+                        R_BG=_rot(rpy), p_BG=np.asarray(xyz),
+                        roles=role, **mat,
+                    )
+                )
+    return geoms
