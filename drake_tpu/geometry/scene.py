@@ -287,6 +287,10 @@ def _contacts_per_pair(ga: CollisionGeometry, gb: CollisionGeometry) -> int:
         frozenset(("Box", "Cylinder")): 8,
         frozenset(("Cylinder", "HalfSpace")): 6,
         frozenset(("Cylinder",)): 12,
+        frozenset(("Sphere", "Ellipsoid")): 1,
+        frozenset(("Capsule", "Ellipsoid")): 2,
+        frozenset(("Box", "Ellipsoid")): 8,
+        frozenset(("Ellipsoid", "HalfSpace")): 1,
     }
     if _hydro_pair(ga, gb) is not None:
         # Hydro takes precedence (matches _pair_contacts dispatch order).
@@ -341,7 +345,7 @@ def _hydro_pair(ga, gb):
         return isinstance(
             g.shape,
             (sh.HalfSpace, sh.Sphere, sh.Box, sh.Capsule, sh.Cylinder,
-             sh.MeshSdf),
+             sh.Ellipsoid, sh.MeshSdf),
         )
 
     ok_a = soft(ga) and sdf_ok(gb)
@@ -373,6 +377,8 @@ def _other_sdf(g_other, R_o, p_o, x):
         return sh.mesh_sdf_point(R_o, p_o, s, x)
     if isinstance(s, sh.Cylinder):
         return sh.cylinder_sdf_point(R_o, p_o, s.radius, s.length, x)
+    if isinstance(s, sh.Ellipsoid):
+        return sh.ellipsoid_sdf_point(R_o, p_o, s.radii, x)
     return sh.capsule_sdf_point(R_o, p_o, s.radius, s.length, x)
 
 
@@ -596,6 +602,10 @@ def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
                 isinstance(a, sh.Cylinder)
                 and isinstance(b, (sh.Sphere, sh.Capsule, sh.Box))
             )
+            or (
+                isinstance(a, sh.Ellipsoid)
+                and isinstance(b, (sh.Sphere, sh.Capsule, sh.Box))
+            )
         )
     ):
         # Swap so the 'larger/static' shape is B; flip resulting normals.
@@ -623,6 +633,34 @@ def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
         phi = phi_c - a.radius
         p_W = pa - n_W * (a.radius + 0.5 * phi)
         return [(phi, p_W, n_W)]
+
+    if isinstance(a, sh.Sphere) and isinstance(b, sh.Ellipsoid):
+        phi_c, n_W = sh.ellipsoid_sdf_point(Rb, pb, b.radii, pa)
+        phi = phi_c - a.radius
+        p_W = pa - n_W * (a.radius + 0.5 * phi)
+        return [(phi, p_W, n_W)]
+
+    if isinstance(a, sh.Capsule) and isinstance(b, sh.Ellipsoid):
+        e1, e2 = sh.capsule_segment_points(Ra, pa, a.length)
+        out = []
+        for e in (e1, e2):
+            phi_c, n_W = sh.ellipsoid_sdf_point(Rb, pb, b.radii, e)
+            phi = phi_c - a.radius
+            out.append((phi, e - n_W * (a.radius + 0.5 * phi), n_W))
+        return out
+
+    if isinstance(a, sh.Box) and isinstance(b, sh.Ellipsoid):
+        corners = sh.box_corners(Ra, pa, a.size)
+        phi, n_W = sh.ellipsoid_sdf_point(Rb, pb, b.radii, corners)
+        return [(phi[k], corners[k], n_W[k]) for k in range(8)]
+
+    if isinstance(a, sh.Ellipsoid) and isinstance(b, sh.HalfSpace):
+        # Exact support point against the plane (point contact, as the
+        # reference's ellipsoid-halfspace witness).
+        n_hs = Rb[:, 2]
+        p_sup = sh.ellipsoid_support_point(Ra, pa, a.radii, -n_hs)
+        phi, n_W = sh.halfspace_sdf_point(Rb, pb, p_sup)
+        return [(phi, p_sup, n_W)]
 
     if isinstance(a, sh.Sphere) and isinstance(b, sh.Cylinder):
         phi_c, n_W = sh.cylinder_sdf_point(Rb, pb, b.radius, b.length, pa)
@@ -827,6 +865,8 @@ def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
             phi, n_W = sh.cylinder_sdf_point(
                 Rb, pb, b.radius, b.length, verts_W
             )
+        elif isinstance(b, sh.Ellipsoid):
+            phi, n_W = sh.ellipsoid_sdf_point(Rb, pb, b.radii, verts_W)
         else:
             raise NotImplementedError(
                 f"no mesh contact vs {type(b).__name__}"

@@ -74,6 +74,10 @@ def _particle_sdf(geom: RigidGeom, x):
         dist = jnp.linalg.norm(d, axis=-1)
         n = d / jnp.maximum(dist[..., None], 1e-9)
         return dist - geom.shape.radius, n
+    if isinstance(geom.shape, sh.Ellipsoid):
+        return sh.ellipsoid_sdf_point(
+            geom.R_WG, geom.p_WG, geom.shape.radii, x
+        )
     if isinstance(geom.shape, sh.Cylinder):
         return sh.cylinder_sdf_point(
             geom.R_WG, geom.p_WG, geom.shape.radius, geom.shape.length, x

@@ -410,6 +410,8 @@ def mjcf_geoms_to_collision(
             shape = sh.Cylinder(float(g.size[0]), 2.0 * float(g.size[1]))
         elif g.type == "box":
             shape = sh.Box(tuple(2.0 * np.asarray(g.size[:3])))
+        elif g.type == "ellipsoid":
+            shape = sh.Ellipsoid(tuple(np.asarray(g.size[:3])))
         elif g.type == "plane":
             shape = sh.HalfSpace()
         else:  # mesh/ellipsoid/... not supported here

@@ -284,6 +284,11 @@ def _sdf_shape(geom_el, mesh_dir, mesh_mode, mesh_resolution):
         return sh.Capsule(
             float(cap.find("radius").text), float(cap.find("length").text)
         )
+    ell = geom_el.find("ellipsoid")
+    if ell is not None:
+        return sh.Ellipsoid(
+            tuple(np.fromstring(ell.find("radii").text, sep=" "))
+        )
     plane = geom_el.find("plane")
     if plane is not None:
         return sh.HalfSpace()

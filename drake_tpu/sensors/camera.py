@@ -89,6 +89,8 @@ def _geom_sdf(geom, R_WG, p_WG, p):
         )
     if isinstance(s, sh.HalfSpace):
         return sh.halfspace_sdf_point(R_WG, p_WG, p)[0]
+    if isinstance(s, sh.Ellipsoid):
+        return sh.ellipsoid_sdf_point(R_WG, p_WG, s.radii, p)[0]
     if isinstance(s, sh.MeshSdf):
         # Baked voxel-grid SDF: meshes render through the same sphere
         # tracer (the role of the reference's mesh render engines).  The
