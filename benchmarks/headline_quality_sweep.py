@@ -37,6 +37,11 @@ parser.add_argument("--wvel", type=float, default=0.02)
 parser.add_argument(
     "--refresh", type=int, default=0,
     help="repeat the heavy first solve every k MPC steps (re-planning)")
+parser.add_argument(
+    "--hold", type=float, default=0.0,
+    help="sim-side overspeed hold reflex: when the sim box planar speed "
+    "exceeds this [m/s], the applied torque blends to gravity hold "
+    "(freeze the arm, stop feeding the smash).  0 = off")
 args = parser.parse_args()
 
 import jax
@@ -117,12 +122,27 @@ def main():
     )
     light_options = ilqr.IlqrOptions(use_jacrev=True, rti=True)
 
+    sim_g = dsys.g
+    if args.hold > 0.0:
+        hold_cap2 = args.hold**2
+
+        def sim_g(p, x, u, *rest):
+            # Overspeed hold reflex: once the SIM box runs past the cap,
+            # blend the applied torque to a gravity hold — the arm stops
+            # feeding the smash (plan-model mismatch protection).
+            sp2 = jnp.sum(x[nq + 10 : nq + 12] ** 2)
+            tau_hold = dyn.bias_forces(
+                model, p, x[:nq], jnp.zeros_like(x[nq:])
+            )[:7]
+            u_eff = jnp.where(sp2 > hold_cap2, tau_hold, u)
+            return dsys.g(p, x, u_eff, *rest)
+
     def scenario(x):
         return mpc.ilqr_mpc_rollout(
             dsys_plan.g, running_cost, final_cost, params, x, us0, mpc_steps,
             dt=h, u_lower=-lim, u_upper=lim,
             options=light_options,
-            sim_dynamics=dsys.g,
+            sim_dynamics=sim_g,
             first_options=first_options,
             refresh_every=args.refresh,
             x_bound=50.0,
@@ -157,7 +177,8 @@ def main():
     cfg = (
         f"fixed cap={args.cap}" if args.mode == "fixed"
         else f"brake k={args.k} floor={args.floor}"
-    ) + (f" refresh={args.refresh}" if args.refresh else "")
+    ) + (f" refresh={args.refresh}" if args.refresh else "") + (
+        f" hold={args.hold}" if args.hold else "")
     print(
         f"[{cfg} whinge={args.whinge} wvel={args.wvel}] "
         f"progressing {n_progress}/{batch}  median err {med_err:.3f}  "

@@ -412,3 +412,177 @@ class lcmt_drake_signal:
     timestamp: int = 0
     coord: List[str] = dataclasses.field(default_factory=list)
     val: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+
+
+@message
+class lcmt_force_torque:
+    """lcmtypes/lcmt_force_torque.lcm"""
+
+    timestamp: int = 0
+    fx: float = 0.0
+    fy: float = 0.0
+    fz: float = 0.0
+    tx: float = 0.0
+    ty: float = 0.0
+    tz: float = 0.0
+
+
+@message
+class lcmt_scope:
+    """lcmtypes/lcmt_scope.lcm (LcmScopeSystem payload)."""
+
+    utime: int = 0
+    value: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0))
+
+
+@message
+class lcmt_robot_plan:
+    """lcmtypes/lcmt_robot_plan.lcm — timed sequence of robot states."""
+
+    utime: int = 0
+    plan: List[lcmt_robot_state] = dataclasses.field(default_factory=list)
+
+
+@message
+class lcmt_allegro_command:
+    """lcmtypes/lcmt_allegro_command.lcm"""
+
+    utime: int = 0
+    joint_position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_torque: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+
+
+@message
+class lcmt_allegro_status:
+    """lcmtypes/lcmt_allegro_status.lcm"""
+
+    utime: int = 0
+    joint_position_measured: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_velocity_estimated: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_position_commanded: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_torque_commanded: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+
+
+@message
+class lcmt_panda_command:
+    """lcmtypes/lcmt_panda_command.lcm"""
+
+    CONTROL_MODE_POSITION = 1
+    CONTROL_MODE_VELOCITY = 2
+    CONTROL_MODE_TORQUE = 4
+
+    utime: int = 0
+    joint_position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_velocity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_torque: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    control_mode_expected: int = 0
+
+
+@message
+class lcmt_panda_status:
+    """lcmtypes/lcmt_panda_status.lcm (franka::RobotState mirror)."""
+
+    utime: int = 0
+    joint_position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_position_desired: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_velocity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_velocity_desired: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_acceleration_desired: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_torque: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_torque_desired: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    joint_torque_external: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    control_command_success_rate: float = 0.0
+    robot_mode: int = 0
+    robot_utime: int = 0
+    control_mode: int = 0
+
+
+@message
+class lcmt_viewer_geometry_data:
+    """lcmtypes/lcmt_viewer_geometry_data.lcm"""
+
+    BOX, SPHERE, CYLINDER, MESH, CAPSULE, ELLIPSOID = 1, 2, 3, 4, 5, 6
+
+    type: int = 0
+    position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )
+    quaternion: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.asarray([1.0, 0, 0, 0])
+    )
+    color: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.asarray([0.5, 0.5, 0.5, 1.0])
+    )
+    string_data: str = ""
+    float_data: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+
+
+@message
+class lcmt_viewer_link_data:
+    """lcmtypes/lcmt_viewer_link_data.lcm"""
+
+    name: str = ""
+    robot_num: int = 0
+    geom: List[lcmt_viewer_geometry_data] = dataclasses.field(
+        default_factory=list
+    )
+
+
+@message
+class lcmt_viewer_load_robot:
+    """lcmtypes/lcmt_viewer_load_robot.lcm"""
+
+    link: List[lcmt_viewer_link_data] = dataclasses.field(
+        default_factory=list
+    )
+
+
+@message
+class lcmt_viewer_draw:
+    """lcmtypes/lcmt_viewer_draw.lcm"""
+
+    timestamp: int = 0
+    link_name: List[str] = dataclasses.field(default_factory=list)
+    robot_num: List[int] = dataclasses.field(default_factory=list)
+    position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3))
+    )
+    quaternion: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 4))
+    )

@@ -99,3 +99,67 @@ class TestTypedChannels:
         pub = m.TypedPublisher(node, "IIWA_COMMAND", m.lcmt_iiwa_command)
         with pytest.raises(TypeError):
             pub.publish(m.lcmt_iiwa_status())
+
+
+import drake_tpu.io.messages as msgs
+
+
+class TestRound4Schemas:
+    """Viewer / plan / panda / allegro / scope schema round-trips
+    (lcmtypes parity breadth: 24 of the reference's 50 schemas, all the
+    actively-consumed ones)."""
+
+    def test_viewer_draw_roundtrip(self):
+        m = msgs.lcmt_viewer_draw(
+            timestamp=5, link_name=["base", "tip"], robot_num=[0, 0],
+            position=np.arange(6.0).reshape(2, 3),
+            quaternion=np.tile([1.0, 0, 0, 0], (2, 1)),
+        )
+        m2 = msgs.decode(msgs.lcmt_viewer_draw, msgs.encode(m))
+        assert m2.link_name == ["base", "tip"]
+        np.testing.assert_allclose(m2.position, m.position)
+
+    def test_viewer_load_robot_nested(self):
+        geom = msgs.lcmt_viewer_geometry_data(
+            type=msgs.lcmt_viewer_geometry_data.CYLINDER,
+            float_data=np.asarray([0.1, 0.5]),
+        )
+        lr = msgs.lcmt_viewer_load_robot(
+            link=[msgs.lcmt_viewer_link_data(name="l0", geom=[geom])]
+        )
+        lr2 = msgs.decode(msgs.lcmt_viewer_load_robot, msgs.encode(lr))
+        assert lr2.link[0].geom[0].type == 3
+        np.testing.assert_allclose(lr2.link[0].geom[0].float_data, [0.1, 0.5])
+
+    def test_robot_plan_nested_states(self):
+        plan = msgs.lcmt_robot_plan(
+            utime=9,
+            plan=[msgs.lcmt_robot_state(utime=t) for t in (0, 100, 200)],
+        )
+        p2 = msgs.decode(msgs.lcmt_robot_plan, msgs.encode(plan))
+        assert [s.utime for s in p2.plan] == [0, 100, 200]
+
+    def test_panda_and_allegro(self):
+        st = msgs.lcmt_panda_status(
+            utime=1, joint_position=np.ones(7), robot_mode=2,
+            control_mode=msgs.lcmt_panda_command.CONTROL_MODE_TORQUE,
+        )
+        st2 = msgs.decode(msgs.lcmt_panda_status, msgs.encode(st))
+        assert st2.control_mode == 4 and st2.joint_position.shape == (7,)
+        al = msgs.lcmt_allegro_status(
+            utime=2, joint_position_measured=np.zeros(16)
+        )
+        al2 = msgs.decode(msgs.lcmt_allegro_status, msgs.encode(al))
+        assert al2.joint_position_measured.shape == (16,)
+
+    def test_scope_and_force_torque(self):
+        sc = msgs.decode(
+            msgs.lcmt_scope,
+            msgs.encode(msgs.lcmt_scope(utime=3, value=np.asarray([1.5]))),
+        )
+        assert float(sc.value[0]) == 1.5
+        ft = msgs.decode(
+            msgs.lcmt_force_torque,
+            msgs.encode(msgs.lcmt_force_torque(fz=-9.81)),
+        )
+        assert ft.fz == -9.81
