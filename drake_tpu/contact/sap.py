@@ -217,34 +217,41 @@ def _hc_gamma(vc, mu, hc_i, similar: bool):
 
 
 def make_contact_jacobian(model, params, q, contact, scene_frames):
-    """J: (nc, 3, nv) mapping v -> contact-frame relative velocity of A wrt B."""
+    """J: (nc, 3, nv) mapping v -> contact-frame relative velocity of A wrt B.
+
+    Built ANALYTICALLY from the tree's world spatial jacobians
+    (kin.world_velocity_jacobians): the point jacobian of body b at p_W is
+    J_v + [J_w]x (p_W - p_Bo), and the contact row is frame' (J_a - J_b).
+    Identical (the map is linear in v) to the earlier jacfwd-of-a-loop
+    formulation, but with einsum-shaped intermediates: under the MPC's
+    outer jacrev the old form emitted per-contact (..., 1, 3) HLO temps
+    with 6.3x TPU tiling padding — the B>=2048 worker-crash root cause
+    (crash_forensics.py)."""
     nv = model.num_velocities
     dtype = q.dtype
-    if contact.phi.shape[0] == 0:
+    nc = contact.phi.shape[0]
+    if nc == 0:
         return jnp.zeros((0, 3, nv), dtype)
 
-    def contact_vel_all(v):
-        V_W = kin.world_velocities(model, params, q, v)  # (nb, 6)
-        _, p_WB = kin.forward_kinematics(model, params, q)
+    J_W = kin.world_velocity_jacobians(model, params, q)  # (nb, 6, nv)
+    _, p_WB = kin.forward_kinematics(model, params, q)
 
-        def point_vel(body, p_W):
-            if body < 0:
-                return jnp.zeros(3, dtype)
-            w = V_W[body, :3]
-            vo = V_W[body, 3:]
-            return vo + jnp.cross(w, p_W - p_WB[body])
+    def point_jac(body, p_W):
+        if body < 0:
+            return jnp.zeros((3, nv), dtype)
+        Jw = J_W[body, :3]  # (3, nv)
+        Jv = J_W[body, 3:]
+        r = p_W - p_WB[body]
+        # Columnwise w x r == -(r x w): (nv, 3) cross then transpose.
+        return Jv + jnp.cross(Jw.T, r).T
 
-        vcs = []
-        for c in range(contact.phi.shape[0]):
-            va = point_vel(contact.body_a[c], contact.p_W[c])
-            vb = point_vel(contact.body_b[c], contact.p_W[c])
-            vrel = va - vb
-            vcs.append(scene_frames[c].T @ vrel)  # (3,) [t1, t2, n]
-        return jnp.stack(vcs)
-
-    # contact_vel_all is linear in v: its Jacobian is exact via jacfwd.
-    J = jax.jacfwd(contact_vel_all)(jnp.zeros(nv, dtype))  # (nc, 3, nv)
-    return J
+    rows = []
+    for c in range(nc):
+        Jp = point_jac(contact.body_a[c], contact.p_W[c]) - point_jac(
+            contact.body_b[c], contact.p_W[c]
+        )
+        rows.append(scene_frames[c].T @ Jp)  # (3, nv) in [t1, t2, n]
+    return jnp.stack(rows)
 
 
 def assemble(

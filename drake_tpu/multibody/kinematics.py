@@ -167,3 +167,41 @@ def world_velocities(model, params, q, v):
     w_W = jnp.einsum("bij,bj->bi", R_WB, V_B[:, :3])
     v_W = jnp.einsum("bij,bj->bi", R_WB, V_B[:, 3:])
     return jnp.concatenate([w_W, v_W], axis=1)
+
+
+def world_velocity_jacobians(model, params, q):
+    """Analytic world-frame spatial jacobians: (nb, 6, nv) with
+    world_velocities(q, v)[i] == J[i] @ v for all v.
+
+    The same tree recursion as body_spatial_velocities, carried on (6, nv)
+    matrices instead of (6,) vectors (the map is linear in v).  Exists so
+    contact-Jacobian construction does not need a jacfwd over a per-contact
+    Python loop — under SECOND-order AD (jacrev of the SAP step inside MPC)
+    that jacfwd graph materializes thousands of (..., 1, 3)-shaped HLO
+    temps that pad 6.3x on TPU tiling and crash the worker at large batch
+    (see benchmarks/crash_forensics.py, BASELINE.md round 4)."""
+    nb = model.num_bodies
+    nv = model.num_velocities
+    dtype = q.dtype
+    R_WB, p_WB = forward_kinematics(model, params, q)
+    Js = []
+    for i in range(nb):
+        R_PB, p_PB, S = joint_transform(model, params, i, q)
+        J = jnp.zeros((6, nv), dtype)
+        nvi = S.shape[1]
+        if nvi > 0:
+            vo = model.v_offsets[i]
+            J = J.at[:, vo : vo + nvi].set(S)
+        p_idx = model.parent[i]
+        if p_idx >= 0:
+            Jp = Js[p_idx]
+            R_BP = R_PB.T
+            # Per column: w_B = R_BP w_P ; v_B = R_BP (v_P + w_P x p_PB).
+            w_cols = R_BP @ Jp[:3]
+            v_cols = R_BP @ (Jp[3:] + jnp.cross(Jp[:3].T, p_PB).T)
+            J = J + jnp.concatenate([w_cols, v_cols], axis=0)
+        Js.append(J)
+    J_B = jnp.stack(Js)  # (nb, 6, nv), body frame about body origin
+    w_W = jnp.einsum("bij,bjv->biv", R_WB, J_B[:, :3])
+    v_W = jnp.einsum("bij,bjv->biv", R_WB, J_B[:, 3:])
+    return jnp.concatenate([w_W, v_W], axis=1)
