@@ -235,23 +235,36 @@ def make_contact_jacobian(model, params, q, contact, scene_frames):
 
     J_W = kin.world_velocity_jacobians(model, params, q)  # (nb, 6, nv)
     _, p_WB = kin.forward_kinematics(model, params, q)
+    # Pad a zero jacobian/origin at index nb for world-anchored sides.
+    nb = model.num_bodies
+    J_pad = jnp.concatenate([J_W, jnp.zeros((1, 6, nv), dtype)], axis=0)
+    p_pad = jnp.concatenate([p_WB, jnp.zeros((1, 3), dtype)], axis=0)
+    idx_a = jnp.asarray(
+        [b if b >= 0 else nb for b in contact.body_a], jnp.int32
+    )
+    idx_b = jnp.asarray(
+        [b if b >= 0 else nb for b in contact.body_b], jnp.int32
+    )
 
-    def point_jac(body, p_W):
-        if body < 0:
-            return jnp.zeros((3, nv), dtype)
-        Jw = J_W[body, :3]  # (3, nv)
-        Jv = J_W[body, 3:]
-        r = p_W - p_WB[body]
-        # Columnwise w x r == -(r x w): (nv, 3) cross then transpose.
-        return Jv + jnp.cross(Jw.T, r).T
+    def point_jacs(idx):
+        Jb = J_pad[idx]  # (nc, 6, nv)
+        r = contact.p_W - p_pad[idx]  # (nc, 3)
+        # Jp = Jv + [w]x r per column  ==  Jv - [r]x Jw, as one batched
+        # matmul: skew(r) (nc, 3, 3) @ Jw (nc, 3, nv).
+        zero = jnp.zeros_like(r[:, 0])
+        skew = jnp.stack(
+            [
+                jnp.stack([zero, -r[:, 2], r[:, 1]], axis=-1),
+                jnp.stack([r[:, 2], zero, -r[:, 0]], axis=-1),
+                jnp.stack([-r[:, 1], r[:, 0], zero], axis=-1),
+            ],
+            axis=-2,
+        )  # (nc, 3, 3)
+        return Jb[:, 3:] - jnp.einsum("cij,cjv->civ", skew, Jb[:, :3])
 
-    rows = []
-    for c in range(nc):
-        Jp = point_jac(contact.body_a[c], contact.p_W[c]) - point_jac(
-            contact.body_b[c], contact.p_W[c]
-        )
-        rows.append(scene_frames[c].T @ Jp)  # (3, nv) in [t1, t2, n]
-    return jnp.stack(rows)
+    Jp = point_jacs(idx_a) - point_jacs(idx_b)  # (nc, 3, nv)
+    frames = jnp.stack(list(scene_frames))  # (nc, 3, 3) cols [t1, t2, n]
+    return jnp.einsum("cji,cjv->civ", frames, Jp)
 
 
 def assemble(

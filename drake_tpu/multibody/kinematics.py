@@ -196,9 +196,18 @@ def world_velocity_jacobians(model, params, q):
         if p_idx >= 0:
             Jp = Js[p_idx]
             R_BP = R_PB.T
-            # Per column: w_B = R_BP w_P ; v_B = R_BP (v_P + w_P x p_PB).
+            # Per column: w_B = R_BP w_P ; v_B = R_BP (v_P + w_P x p_PB),
+            # with the cross as a skew matmul (w x p = -[p]x w) — matmul
+            # shapes survive second-order AD without the (.., 1, 3)
+            # padded temps a columnwise jnp.cross emits.
+            z = jnp.zeros((), dtype)
+            skew_p = jnp.stack([
+                jnp.stack([z, -p_PB[2], p_PB[1]]),
+                jnp.stack([p_PB[2], z, -p_PB[0]]),
+                jnp.stack([-p_PB[1], p_PB[0], z]),
+            ])
             w_cols = R_BP @ Jp[:3]
-            v_cols = R_BP @ (Jp[3:] + jnp.cross(Jp[:3].T, p_PB).T)
+            v_cols = R_BP @ (Jp[3:] - skew_p @ Jp[:3])
             J = J + jnp.concatenate([w_cols, v_cols], axis=0)
         Js.append(J)
     J_B = jnp.stack(Js)  # (nb, 6, nv), body frame about body origin
