@@ -586,3 +586,318 @@ class lcmt_viewer_draw:
     quaternion: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0, 4))
     )
+
+
+@message
+class lcmt_acrobot_u:
+    """lcmtypes/lcmt_acrobot_u.lcm — acrobot actuation (elbow torque)."""
+
+    timestamp: int = 0
+    tau: float = 0.0
+
+
+@message
+class lcmt_acrobot_x:
+    """lcmtypes/lcmt_acrobot_x.lcm — acrobot full state."""
+
+    timestamp: int = 0
+    theta1: float = 0.0
+    theta1Dot: float = 0.0
+    theta2: float = 0.0
+    theta2Dot: float = 0.0
+
+
+@message
+class lcmt_acrobot_y:
+    """lcmtypes/lcmt_acrobot_y.lcm — acrobot measured output."""
+
+    timestamp: int = 0
+    theta1: float = 0.0
+    theta2: float = 0.0
+    tau: float = 0.0
+
+
+@message
+class lcmt_point:
+    """lcmtypes/lcmt_point.lcm — a 3D point."""
+
+    x: float = 0.0
+    y: float = 0.0
+    z: float = 0.0
+
+
+@message
+class lcmt_quaternion:
+    """lcmtypes/lcmt_quaternion.lcm — orientation quaternion (wxyz)."""
+
+    w: float = 1.0
+    x: float = 0.0
+    y: float = 0.0
+    z: float = 0.0
+
+
+@message
+class lcmt_point_cloud_field:
+    """lcmtypes/lcmt_point_cloud_field.lcm — one channel of a point cloud
+    (PCL/ROS PointField conventions)."""
+
+    INT8, UINT8, INT16, UINT16 = 1, 2, 3, 4
+    INT32, UINT32, FLOAT32, FLOAT64 = 5, 6, 7, 8
+
+    name: str = ""
+    byte_offset: int = 0
+    datatype: int = 0
+    count: int = 0
+
+
+@message
+class lcmt_viewer_command:
+    """lcmtypes/lcmt_viewer_command.lcm — viewer control verbs."""
+
+    STATUS, LOAD_MODEL, LOAD_RENDERER, SHUTDOWN = 0, 1, 2, 3
+    START_RECORDING, STOP_RECORDING = 4, 5
+    LOAD_TERRAIN, SET_TERRAIN_TRANSFORM = 6, 7
+
+    command_type: int = 0
+    command_data: str = ""
+
+
+@message
+class lcmt_image_array:
+    """lcmtypes/lcmt_image_array.lcm — synchronized multi-camera frames."""
+
+    header: lcmt_header = dataclasses.field(default_factory=lcmt_header)
+    images: List[lcmt_image] = dataclasses.field(default_factory=list)
+
+
+@message
+class lcmt_iiwa_status_telemetry:
+    """lcmtypes/lcmt_iiwa_status_telemetry.lcm — clock-offset telemetry."""
+
+    host_utime: int = 0
+    iiwa_utime: int = 0
+    estimated_dt_host_minus_iiwa: int = 0
+
+
+@message
+class lcmt_call_python_data:
+    """lcmtypes/lcmt_call_python_data.lcm — one RPC argument (mxArray role)."""
+
+    REMOTE_VARIABLE_REFERENCE, DOUBLE, CHAR, LOGICAL, INT = 0, 1, 2, 3, 4
+    MATRIX, VECTOR, SCALAR = 0, 1, 2
+
+    data_type: int = 0
+    shape_type: int = 0
+    rows: int = 0
+    cols: int = 0
+    data: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.uint8)
+    )
+
+
+@message
+class lcmt_call_python:
+    """lcmtypes/lcmt_call_python.lcm — async RPC to a Python client."""
+
+    function_name: str = ""
+    lhs: int = 0
+    rhs: List[lcmt_call_python_data] = dataclasses.field(default_factory=list)
+
+
+@message
+class lcmt_hydroelastic_quadrature_per_point_data_for_viz:
+    """lcmtypes/lcmt_hydroelastic_quadrature_per_point_data_for_viz.lcm"""
+
+    p_WQ: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(3))
+    vt_BqAq_W: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )
+    traction_Aq_W: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )
+
+
+@message
+class lcmt_hydroelastic_contact_surface_for_viz:
+    """lcmtypes/lcmt_hydroelastic_contact_surface_for_viz.lcm — one contact
+    patch: force/moment at the centroid + the pressure-field mesh."""
+
+    geometry1_name: str = ""
+    body1_name: str = ""
+    model1_name: str = ""
+    body1_unique: bool = False
+    collision_count1: int = 0
+    geometry2_name: str = ""
+    body2_name: str = ""
+    model2_name: str = ""
+    body2_unique: bool = False
+    collision_count2: int = 0
+    centroid_W: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )
+    force_C_W: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )
+    moment_C_W: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3)
+    )
+    quadrature_point_data: List[
+        lcmt_hydroelastic_quadrature_per_point_data_for_viz
+    ] = dataclasses.field(default_factory=list)
+    p_WV: List[lcmt_point] = dataclasses.field(default_factory=list)
+    pressure: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+    poly_data: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int32)
+    )
+
+
+@message
+class lcmt_planar_gripper_finger_command:
+    """lcmtypes/lcmt_planar_gripper_finger_command.lcm — 2-joint finger."""
+
+    joint_position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2)
+    )
+    joint_velocity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2)
+    )
+    joint_torque: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2)
+    )
+
+
+@message
+class lcmt_planar_gripper_command:
+    """lcmtypes/lcmt_planar_gripper_command.lcm"""
+
+    utime: int = 0
+    finger_command: List[lcmt_planar_gripper_finger_command] = (
+        dataclasses.field(default_factory=list)
+    )
+
+
+@message
+class lcmt_planar_gripper_finger_status:
+    """lcmtypes/lcmt_planar_gripper_finger_status.lcm"""
+
+    joint_position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2)
+    )
+    joint_velocity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2)
+    )
+    fingertip_force: lcmt_force_torque = dataclasses.field(
+        default_factory=lcmt_force_torque
+    )
+
+
+@message
+class lcmt_planar_gripper_status:
+    """lcmtypes/lcmt_planar_gripper_status.lcm"""
+
+    utime: int = 0
+    finger_status: List[lcmt_planar_gripper_finger_status] = (
+        dataclasses.field(default_factory=list)
+    )
+
+
+@message
+class lcmt_planar_gripper_finger_face_assignment:
+    """lcmtypes/lcmt_planar_gripper_finger_face_assignment.lcm — which brick
+    face a finger touches, and where (brick-frame y,z)."""
+
+    utime: int = 0
+    finger_name: str = ""
+    brick_face_name: str = ""
+    p_BoBq_B: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2)
+    )
+    is_in_contact: bool = False
+
+
+@message
+class lcmt_planar_gripper_finger_face_assignments:
+    """lcmtypes/lcmt_planar_gripper_finger_face_assignments.lcm"""
+
+    utime: int = 0
+    finger_face_assignments: List[
+        lcmt_planar_gripper_finger_face_assignment
+    ] = dataclasses.field(default_factory=list)
+
+
+@message
+class lcmt_planar_manipuland_status:
+    """lcmtypes/lcmt_planar_manipuland_status.lcm — planar pose + twist."""
+
+    utime: int = 0
+    position: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2)
+    )
+    theta: float = 0.0
+    velocity: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(2)
+    )
+    thetadot: float = 0.0
+
+
+@message
+class lcmt_planar_plant_state:
+    """lcmtypes/lcmt_planar_plant_state.lcm"""
+
+    utime: int = 0
+    plant_state: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0)
+    )
+
+
+@message
+class experimental_lcmt_deformable_tri:
+    """lcmtypes/experimental_lcmt_deformable_tri.lcm (fork) — one triangle."""
+
+    vertices: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(3, np.int32)
+    )
+
+
+@message
+class experimental_lcmt_deformable_tri_mesh_init:
+    """lcmtypes/experimental_lcmt_deformable_tri_mesh_init.lcm (fork) — MPM
+    cloth mesh topology, sent once at load."""
+
+    name: str = ""
+    num_vertices: int = 0
+    tris: List[experimental_lcmt_deformable_tri] = dataclasses.field(
+        default_factory=list
+    )
+
+
+@message
+class experimental_lcmt_deformable_tri_mesh_update:
+    """lcmtypes/experimental_lcmt_deformable_tri_mesh_update.lcm (fork) —
+    per-frame MPM cloth vertex positions."""
+
+    name: str = ""
+    vertices_W: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 3))
+    )
+
+
+@message
+class experimental_lcmt_deformable_tri_meshes_init:
+    """lcmtypes/experimental_lcmt_deformable_tri_meshes_init.lcm (fork)"""
+
+    meshes: List[experimental_lcmt_deformable_tri_mesh_init] = (
+        dataclasses.field(default_factory=list)
+    )
+
+
+@message
+class experimental_lcmt_deformable_tri_meshes_update:
+    """lcmtypes/experimental_lcmt_deformable_tri_meshes_update.lcm (fork)"""
+
+    timestamp: int = 0
+    meshes: List[experimental_lcmt_deformable_tri_mesh_update] = (
+        dataclasses.field(default_factory=list)
+    )

@@ -163,3 +163,153 @@ class TestRound4Schemas:
             msgs.encode(msgs.lcmt_force_torque(fz=-9.81)),
         )
         assert ft.fz == -9.81
+
+
+class TestFullSchemaSet:
+    """The reference ships 50 lcmtypes (48 lcmt_* + 5 experimental, minus
+    the internal lcmt_test fixtures); every one has a typed mirror here."""
+
+    def test_schema_count_parity(self):
+        names = [
+            n for n in dir(m)
+            if n.startswith("lcmt_") or n.startswith("experimental_lcmt_")
+        ]
+        assert len(names) >= 50
+
+    def test_hydroelastic_surface_roundtrip(self):
+        surf = m.lcmt_hydroelastic_contact_surface_for_viz(
+            geometry1_name="ball", body1_name="ball", model1_name="m1",
+            body1_unique=True, collision_count1=1,
+            geometry2_name="plate", body2_name="plate", model2_name="m2",
+            body2_unique=True, collision_count2=1,
+            centroid_W=np.array([0.0, 0.0, 0.01]),
+            force_C_W=np.array([0.0, 0.0, 12.5]),
+            moment_C_W=np.zeros(3),
+            quadrature_point_data=[
+                m.lcmt_hydroelastic_quadrature_per_point_data_for_viz(
+                    p_WQ=np.array([0.0, 0.0, 0.01]),
+                    vt_BqAq_W=np.array([0.1, 0.0, 0.0]),
+                    traction_Aq_W=np.array([0.0, 0.0, 4.0]),
+                )
+            ],
+            p_WV=[m.lcmt_point(0, 0, 0), m.lcmt_point(1, 0, 0),
+                  m.lcmt_point(0, 1, 0)],
+            pressure=np.array([1e4, 2e4, 3e4]),
+            poly_data=np.array([3, 0, 1, 2], np.int32),
+        )
+        back = m.lcmt_hydroelastic_contact_surface_for_viz.decode(
+            surf.encode()
+        )
+        assert back.p_WV[1].x == 1.0
+        assert back.quadrature_point_data[0].traction_Aq_W[2] == 4.0
+        np.testing.assert_array_equal(back.poly_data, [3, 0, 1, 2])
+
+    def test_fork_deformable_mesh_messages(self):
+        # The fork's MPM cloth viz wire format: topology once, then
+        # per-frame vertex updates (experimental_lcmt_deformable_tri_*.lcm).
+        init = m.experimental_lcmt_deformable_tri_meshes_init(
+            meshes=[
+                m.experimental_lcmt_deformable_tri_mesh_init(
+                    name="cloth", num_vertices=4,
+                    tris=[
+                        m.experimental_lcmt_deformable_tri(
+                            vertices=np.array([0, 1, 2], np.int32)),
+                        m.experimental_lcmt_deformable_tri(
+                            vertices=np.array([1, 3, 2], np.int32)),
+                    ],
+                )
+            ]
+        )
+        got = m.experimental_lcmt_deformable_tri_meshes_init.decode(
+            init.encode()
+        )
+        assert got.meshes[0].num_vertices == 4
+        np.testing.assert_array_equal(got.meshes[0].tris[1].vertices,
+                                      [1, 3, 2])
+
+        upd = m.experimental_lcmt_deformable_tri_meshes_update(
+            timestamp=33,
+            meshes=[m.experimental_lcmt_deformable_tri_mesh_update(
+                name="cloth", vertices_W=np.linspace(0, 1, 12).reshape(4, 3)
+            )],
+        )
+        back = m.experimental_lcmt_deformable_tri_meshes_update.decode(
+            upd.encode()
+        )
+        assert back.timestamp == 33
+        assert back.meshes[0].vertices_W.shape == (4, 3)
+
+    def test_planar_gripper_stack(self):
+        cmd = m.lcmt_planar_gripper_command(
+            utime=5,
+            finger_command=[
+                m.lcmt_planar_gripper_finger_command(
+                    joint_position=np.array([0.1, -0.1]),
+                    joint_velocity=np.zeros(2),
+                    joint_torque=np.array([0.5, 0.25]),
+                )
+            ] * 3,
+        )
+        back = m.lcmt_planar_gripper_command.decode(cmd.encode())
+        assert len(back.finger_command) == 3
+        assert back.finger_command[2].joint_torque[1] == 0.25
+
+        fa = m.lcmt_planar_gripper_finger_face_assignments(
+            utime=5,
+            finger_face_assignments=[
+                m.lcmt_planar_gripper_finger_face_assignment(
+                    utime=5, finger_name="finger1", brick_face_name="PosY",
+                    p_BoBq_B=np.array([0.02, 0.0]), is_in_contact=True,
+                )
+            ],
+        )
+        back = m.lcmt_planar_gripper_finger_face_assignments.decode(
+            fa.encode()
+        )
+        assert back.finger_face_assignments[0].is_in_contact is True
+        assert back.finger_face_assignments[0].brick_face_name == "PosY"
+
+    def test_small_schemas_roundtrip(self):
+        for msg in [
+            m.lcmt_acrobot_u(timestamp=1, tau=2.5),
+            m.lcmt_acrobot_x(timestamp=1, theta1=0.1, theta2=0.2),
+            m.lcmt_acrobot_y(timestamp=1, tau=0.3),
+            m.lcmt_quaternion(w=0.5, x=0.5, y=0.5, z=0.5),
+            m.lcmt_viewer_command(
+                command_type=m.lcmt_viewer_command.LOAD_MODEL,
+                command_data="{}"),
+            m.lcmt_iiwa_status_telemetry(host_utime=9, iiwa_utime=8,
+                                         estimated_dt_host_minus_iiwa=1),
+            m.lcmt_planar_manipuland_status(
+                utime=2, position=np.array([1.0, 2.0]), theta=0.5,
+                velocity=np.zeros(2), thetadot=-0.1),
+            m.lcmt_planar_plant_state(
+                utime=3, plant_state=np.arange(6.0)),
+            m.lcmt_point_cloud_field(
+                name="rgb", byte_offset=12,
+                datatype=m.lcmt_point_cloud_field.FLOAT32, count=1),
+            m.lcmt_image_array(
+                header=m.lcmt_header(utime=4, frame_name="cam0"),
+                images=[m.lcmt_image(width=2, height=2,
+                                     data=np.zeros(4, np.uint8))]),
+        ]:
+            cls = type(msg)
+            back = cls.decode(msg.encode())
+            assert dataclasses.asdict(back).keys() == (
+                dataclasses.asdict(msg).keys()
+            )
+
+    def test_call_python_rpc(self):
+        arr = np.arange(6, dtype=np.float64)
+        msg = m.lcmt_call_python(
+            function_name="plot", lhs=42,
+            rhs=[m.lcmt_call_python_data(
+                data_type=m.lcmt_call_python_data.DOUBLE,
+                shape_type=m.lcmt_call_python_data.VECTOR,
+                rows=6, cols=1, data=arr.view(np.uint8))],
+        )
+        back = m.lcmt_call_python.decode(msg.encode())
+        assert back.function_name == "plot"
+        np.testing.assert_array_equal(
+            back.rhs[0].data.view(np.float64), arr
+        )
