@@ -372,12 +372,17 @@ class lcmt_point_pair_contact_info_for_viz:
 
 @message
 class lcmt_contact_results_for_viz:
-    """lcmtypes/lcmt_contact_results_for_viz.lcm (point-pair subset)."""
+    """lcmtypes/lcmt_contact_results_for_viz.lcm — point pairs + hydro
+    surfaces (the hydroelastic class is defined later in this module; the
+    annotation resolves lazily at encode time)."""
 
     timestamp: int = 0
     point_pair_contact_info: List[lcmt_point_pair_contact_info_for_viz] = (
         dataclasses.field(default_factory=list)
     )
+    hydroelastic_contacts: List[
+        "lcmt_hydroelastic_contact_surface_for_viz"
+    ] = dataclasses.field(default_factory=list)
 
 
 @message
