@@ -131,3 +131,65 @@ def record_mpm_rollout(
     if publish:
         viz.set_animation(anim)
     return anim
+
+
+# ---------------------------------------------------------------------------
+# Wire publishing (the fork's DrakeVisualizer MPM-mesh path).
+# ---------------------------------------------------------------------------
+
+
+class DeformableMeshWirePublisher:
+    """Publish deformable (MPM cloth / FEM surface) meshes over the typed
+    message wire — the fork's DrakeVisualizer MPM publishing role
+    (geometry/drake_visualizer.h + lcmtypes/experimental_lcmt_deformable_*):
+    topology is sent ONCE on ``<prefix>_INIT``; each frame sends only
+    vertex positions on ``<prefix>_UPDATE``.
+
+        node = PubSub("memq://")
+        pub = DeformableMeshWirePublisher(
+            node, [("cloth", cloth.faces, cloth.x.shape[0])])
+        ...per frame...
+        pub.publish(t, [cloth.x])
+    """
+
+    def __init__(self, node, meshes, channel_prefix: str = "DEFORMABLE_MESHES"):
+        """``meshes``: list of (name, faces (nf,3) int, num_vertices)."""
+        from drake_tpu.io import messages as m
+
+        self._m = m
+        self.names = [name for name, _, _ in meshes]
+        self.init_pub = m.TypedPublisher(
+            node, channel_prefix + "_INIT",
+            m.experimental_lcmt_deformable_tri_meshes_init)
+        self.update_pub = m.TypedPublisher(
+            node, channel_prefix + "_UPDATE",
+            m.experimental_lcmt_deformable_tri_meshes_update)
+        self.init_pub.publish(m.experimental_lcmt_deformable_tri_meshes_init(
+            meshes=[
+                m.experimental_lcmt_deformable_tri_mesh_init(
+                    name=name, num_vertices=int(nv),
+                    tris=[
+                        m.experimental_lcmt_deformable_tri(
+                            vertices=np.asarray(f, np.int32))
+                        for f in np.asarray(faces)
+                    ],
+                )
+                for name, faces, nv in meshes
+            ]
+        ))
+
+    def publish(self, t: float, vertex_arrays: Sequence[np.ndarray]):
+        """Per-frame vertex positions, one (nv, 3) array per mesh."""
+        m = self._m
+        self.update_pub.publish(
+            m.experimental_lcmt_deformable_tri_meshes_update(
+                timestamp=int(float(t) * 1e6),
+                meshes=[
+                    m.experimental_lcmt_deformable_tri_mesh_update(
+                        name=name,
+                        vertices_W=np.asarray(x, np.float64),
+                    )
+                    for name, x in zip(self.names, vertex_arrays)
+                ],
+            )
+        )

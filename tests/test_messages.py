@@ -313,3 +313,36 @@ class TestFullSchemaSet:
         np.testing.assert_array_equal(
             back.rhs[0].data.view(np.float64), arr
         )
+
+
+class TestDeformableWirePublisher:
+    """The fork's DrakeVisualizer MPM-mesh wire path: topology once, then
+    per-frame vertex updates (viz/mpm_visualization.py)."""
+
+    def test_init_then_updates(self):
+        from drake_tpu.viz.mpm_visualization import (
+            DeformableMeshWirePublisher,
+        )
+
+        node = PubSub("memq://")
+        init_sub = m.TypedSubscriber(
+            node, "DEFORMABLE_MESHES_INIT",
+            m.experimental_lcmt_deformable_tri_meshes_init)
+        upd_sub = m.TypedSubscriber(
+            node, "DEFORMABLE_MESHES_UPDATE",
+            m.experimental_lcmt_deformable_tri_meshes_update)
+
+        faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+        pub = DeformableMeshWirePublisher(node, [("cloth", faces, 4)])
+        init = init_sub.poll()
+        assert init.meshes[0].name == "cloth"
+        assert init.meshes[0].num_vertices == 4
+        assert len(init.meshes[0].tris) == 2
+
+        for k in range(3):
+            pub.publish(k * 0.01, [np.full((4, 3), float(k))])
+        got = upd_sub.poll()
+        assert upd_sub.count == 3
+        assert got.timestamp == 20000
+        np.testing.assert_array_equal(got.meshes[0].vertices_W,
+                                      np.full((4, 3), 2.0))
