@@ -25,6 +25,10 @@ parser.add_argument("--case", choices=["mpc", "dircol", "both"],
                     default="both")
 parser.add_argument("--execute", action="store_true")
 parser.add_argument("--sizes", type=str, default="")
+parser.add_argument("--analytic-jacobian", action="store_true",
+                    help="use the memory-flat contact-jacobian formulation "
+                    "(SapParameters.contact_jacobian='analytic') — the fix "
+                    "for crash class (a)")
 args = parser.parse_args()
 
 import jax
@@ -67,8 +71,12 @@ def mpc_ladder(sizes):
     model, params, scene, side = build_world(dtype)
     nq, nv = model.num_positions, model.num_velocities
     h = 0.04
-    dsys = cplant.make_discrete_system(model, params, scene, h)
-    sp_plan = sap.SapParameters(unroll_iterations=4, line_search_points=12)
+    jac = "analytic" if args.analytic_jacobian else "jacfwd"
+    dsys = cplant.make_discrete_system(
+        model, params, scene, h,
+        sap_params=sap.SapParameters(contact_jacobian=jac))
+    sp_plan = sap.SapParameters(unroll_iterations=4, line_search_points=12,
+                                contact_jacobian=jac)
     dsys_plan = cplant.make_discrete_system(
         model, params, scene, h, sap_params=sp_plan)
     q_arm = iiwa.home_position(dtype)

@@ -47,6 +47,10 @@ parser.add_argument(
     "(ilqr.rti_solve: 2 dynamics passes per knot instead of 3)",
 )
 parser.add_argument(
+    "--analytic-jacobian", action="store_true",
+    help="padded-temp-free contact-jacobian formulation (~11%% slower "
+    "at B=1024; see sap.make_contact_jacobian / BASELINE.md round 4)")
+parser.add_argument(
     "--plan-unroll", type=int, default=0,
     help="use a fixed-N-iteration scan SAP for the iLQR-internal dynamics "
     "(derivatives + line search) while the state advance keeps the full "
@@ -142,6 +146,7 @@ def _run_mpc_only(
         sp_plan = sap.SapParameters(
             unroll_iterations=args.plan_unroll,
             line_search_points=args.plan_ls,
+            contact_jacobian=jac_method,
         )
         dsys_plan = cplant.make_discrete_system(
             model, params, scene, h, sap_params=sp_plan
@@ -189,8 +194,10 @@ def main():
     model, params, scene, side = build_world(dtype)
     nq, nv = model.num_positions, model.num_velocities
     h = 0.04
+    jac_method = "analytic" if args.analytic_jacobian else "jacfwd"
     sp = sap.SapParameters(
-        max_iterations=args.sap_iters, rel_tolerance=args.sap_tol
+        max_iterations=args.sap_iters, rel_tolerance=args.sap_tol,
+        contact_jacobian=jac_method,
     )
     dsys = cplant.make_discrete_system(model, params, scene, h, sap_params=sp)
 

@@ -71,6 +71,16 @@ class SapParameters:
     # Stiction velocity tolerance for the HC soft norm (Drake's
     # stiction_tolerance default, 1e-4 m/s).
     stiction_tolerance: float = 1e-4
+    # Contact-jacobian formulation: "jacfwd" (fastest through the MPC's
+    # outer jacrev: 1,084 vs 1,015/959 solves/s for the analytic forms at
+    # B=1024) or "analytic" (matmul-shaped intermediates, no 6.3x-padded
+    # per-contact temps, halves generated code).  NOTE neither fits a
+    # B=2048 MPC program in 16 GiB HBM — peak temp is dominated by the
+    # iLQR linearization live ranges, ~14 MiB/lane in every formulation
+    # (benchmarks/crash_forensics.py ladder; BASELINE.md round 4) — so
+    # B=1024/chip is the committed capacity and batch scales ACROSS chips
+    # (scenario sharding, __graft_entry__.dryrun_multichip).
+    contact_jacobian: str = "jacfwd"
 
 
 class HcData(NamedTuple):
@@ -216,56 +226,89 @@ def _hc_gamma(vc, mu, hc_i, similar: bool):
 # ---------------------------------------------------------------------------
 
 
-def make_contact_jacobian(model, params, q, contact, scene_frames):
+def make_contact_jacobian(
+    model, params, q, contact, scene_frames, method: str = "jacfwd"
+):
     """J: (nc, 3, nv) mapping v -> contact-frame relative velocity of A wrt B.
 
-    Built ANALYTICALLY from the tree's world spatial jacobians
-    (kin.world_velocity_jacobians): the point jacobian of body b at p_W is
-    J_v + [J_w]x (p_W - p_Bo), and the contact row is frame' (J_a - J_b).
-    Identical (the map is linear in v) to the earlier jacfwd-of-a-loop
-    formulation, but with einsum-shaped intermediates: under the MPC's
-    outer jacrev the old form emitted per-contact (..., 1, 3) HLO temps
-    with 6.3x TPU tiling padding — the B>=2048 worker-crash root cause
-    (crash_forensics.py)."""
+    Two formulations of the same linear map (bit-compatible outputs):
+
+    - ``"jacfwd"`` (default): forward-mode jacobian of the per-contact
+      point-velocity loop.  The fastest form through the MPC's outer
+      jacrev at the committed operating scales (measured: 1,084 vs 1,015
+      solves/s for the analytic form at B=1024, BASELINE.md round 4) and
+      the best-quality numerics — but under second-order AD its
+      per-contact jnp.cross graphs materialize (..., 1, 3)-shaped HLO
+      temps that pad 6.3x on TPU tiling: ~20 x 624 MB live at B=2048,
+      crashing the worker (benchmarks/crash_forensics.py memory_analysis).
+
+    - ``"analytic"``: build J from the tree's world spatial jacobians
+      (kin.world_velocity_jacobians) with matmul-shaped intermediates —
+      no padded temps, half the generated code, ~11% slower end-to-end at
+      B=1024 (gathers trade compute for live buffers).  Neither form fits
+      B=2048 in HBM (see SapParameters.contact_jacobian); select with
+      profile_mpc.py --analytic-jacobian.
+    """
     nv = model.num_velocities
     dtype = q.dtype
     nc = contact.phi.shape[0]
     if nc == 0:
         return jnp.zeros((0, 3, nv), dtype)
 
-    J_W = kin.world_velocity_jacobians(model, params, q)  # (nb, 6, nv)
-    _, p_WB = kin.forward_kinematics(model, params, q)
-    # Pad a zero jacobian/origin at index nb for world-anchored sides.
-    nb = model.num_bodies
-    J_pad = jnp.concatenate([J_W, jnp.zeros((1, 6, nv), dtype)], axis=0)
-    p_pad = jnp.concatenate([p_WB, jnp.zeros((1, 3), dtype)], axis=0)
-    idx_a = jnp.asarray(
-        [b if b >= 0 else nb for b in contact.body_a], jnp.int32
-    )
-    idx_b = jnp.asarray(
-        [b if b >= 0 else nb for b in contact.body_b], jnp.int32
-    )
+    if method == "analytic":
+        J_W = kin.world_velocity_jacobians(model, params, q)  # (nb, 6, nv)
+        _, p_WB = kin.forward_kinematics(model, params, q)
+        # Pad a zero jacobian/origin at index nb for world-anchored sides.
+        nb = model.num_bodies
+        J_pad = jnp.concatenate([J_W, jnp.zeros((1, 6, nv), dtype)], axis=0)
+        p_pad = jnp.concatenate([p_WB, jnp.zeros((1, 3), dtype)], axis=0)
+        idx_a = jnp.asarray(
+            [b if b >= 0 else nb for b in contact.body_a], jnp.int32
+        )
+        idx_b = jnp.asarray(
+            [b if b >= 0 else nb for b in contact.body_b], jnp.int32
+        )
 
-    def point_jacs(idx):
-        Jb = J_pad[idx]  # (nc, 6, nv)
-        r = contact.p_W - p_pad[idx]  # (nc, 3)
-        # Jp = Jv + [w]x r per column  ==  Jv - [r]x Jw, as one batched
-        # matmul: skew(r) (nc, 3, 3) @ Jw (nc, 3, nv).
-        zero = jnp.zeros_like(r[:, 0])
-        skew = jnp.stack(
-            [
-                jnp.stack([zero, -r[:, 2], r[:, 1]], axis=-1),
-                jnp.stack([r[:, 2], zero, -r[:, 0]], axis=-1),
-                jnp.stack([-r[:, 1], r[:, 0], zero], axis=-1),
-            ],
-            axis=-2,
-        )  # (nc, 3, 3)
-        return Jb[:, 3:] - jnp.einsum("cij,cjv->civ", skew, Jb[:, :3])
+        def point_jacs(idx):
+            Jb = J_pad[idx]  # (nc, 6, nv)
+            r = contact.p_W - p_pad[idx]  # (nc, 3)
+            # Jp = Jv + [w]x r per column  ==  Jv - [r]x Jw, as one batched
+            # matmul: skew(r) (nc, 3, 3) @ Jw (nc, 3, nv).
+            zero = jnp.zeros_like(r[:, 0])
+            skew = jnp.stack(
+                [
+                    jnp.stack([zero, -r[:, 2], r[:, 1]], axis=-1),
+                    jnp.stack([r[:, 2], zero, -r[:, 0]], axis=-1),
+                    jnp.stack([-r[:, 1], r[:, 0], zero], axis=-1),
+                ],
+                axis=-2,
+            )  # (nc, 3, 3)
+            return Jb[:, 3:] - jnp.einsum("cij,cjv->civ", skew, Jb[:, :3])
 
-    Jp = point_jacs(idx_a) - point_jacs(idx_b)  # (nc, 3, nv)
-    frames = jnp.stack(list(scene_frames))  # (nc, 3, 3) cols [t1, t2, n]
-    return jnp.einsum("cji,cjv->civ", frames, Jp)
+        Jp = point_jacs(idx_a) - point_jacs(idx_b)  # (nc, 3, nv)
+        frames = jnp.stack(list(scene_frames))  # (nc, 3, 3) [t1 t2 n] cols
+        return jnp.einsum("cji,cjv->civ", frames, Jp)
 
+    def contact_vel_all(v):
+        V_W = kin.world_velocities(model, params, q, v)  # (nb, 6)
+        _, p_WB = kin.forward_kinematics(model, params, q)
+
+        def point_vel(body, p_W):
+            if body < 0:
+                return jnp.zeros(3, dtype)
+            w = V_W[body, :3]
+            vo = V_W[body, 3:]
+            return vo + jnp.cross(w, p_W - p_WB[body])
+
+        vcs = []
+        for c in range(nc):
+            va = point_vel(contact.body_a[c], contact.p_W[c])
+            vb = point_vel(contact.body_b[c], contact.p_W[c])
+            vcs.append(scene_frames[c].T @ (va - vb))  # (3,) [t1, t2, n]
+        return jnp.stack(vcs)
+
+    # contact_vel_all is linear in v: its jacobian is exact via jacfwd.
+    return jax.jacfwd(contact_vel_all)(jnp.zeros(nv, dtype))
 
 def assemble(
     model: MultibodyModel,
@@ -307,7 +350,10 @@ def assemble(
     contact = scene.query(model, params, q)
     frames = contact_frame(contact.n_W)  # (nc, 3, 3)
     frames_list = [frames[c] for c in range(contact.phi.shape[0])]
-    J = make_contact_jacobian(model, params, q, contact, frames_list)
+    J = make_contact_jacobian(
+        model, params, q, contact, frames_list,
+        method=sap_params.contact_jacobian,
+    )
 
     # Delassus diagonal scale per contact: w = tr(J A^-1 J')/3.
     A_inv_Jt = jnp.linalg.solve(A, J.reshape(-1, nv).T).T.reshape(J.shape)
