@@ -1,16 +1,18 @@
 """Quadrotor obstacle-MPC solves/s/chip (BASELINE.md row 2).
 
-CAUTION: steps > ~25 at batch 512 produced a compile that crashes the
-tunneled TPU worker (see BASELINE.md cautions); the 25-step program shape
-is known-good.  "Progressing" = moved measurably toward the goal in the
-0.5 s window; full flights need ~75 steps (errors then reach ~0.1, see
-the CPU study in git history).
+Batched receding-horizon iLQR on the 12-state quadrotor with an obstacle
+penalty — the reference's LinearModelPredictiveController role
+(linear_model_predictive_controller.h:41) made nonlinear and batched.
+DEFAULT schedule is the headline bench's real-time iteration: one heavy
+8-iteration planning solve, then fused always-accept RTI tracking steps
+(round 4: 1,868 solves/s at 512/512 progressing vs 298 at 335/512 for
+plain 4-iteration iLQR — 6.3x faster AND better quality; saturates ~1,870
+through B=2048).  "Progressing" = moved measurably toward the goal in the
+0.5 s window; full flights need ~75 steps.
 
-Batched receding-horizon iLQR (horizon 30, 4 warm-started iterations) on the
-12-state quadrotor with an obstacle penalty — the reference's
-LinearModelPredictiveController role (linear_model_predictive_controller.h:41)
-made nonlinear and batched.  One JSON line; vs_baseline is the ratio to the
-round-1 measured 265 solves/s (512 scenarios, v5e 1 chip).
+CAUTION: steps > ~25 at batch 512 once crashed the tunneled TPU worker in
+the plain-iLQR config; the 25-step shape is known-good.  One JSON line;
+vs_baseline is the ratio to the round-1 measured 265 solves/s.
 """
 
 import os
@@ -20,7 +22,20 @@ import time
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import argparse
+
 import _harness
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--batch", type=int, default=0, help="0 = default")
+parser.add_argument("--steps", type=int, default=0)
+parser.add_argument("--iters", type=int, default=4)
+parser.add_argument("--rti", dest="rti", action="store_true", default=True,
+                    help="RTI light solves + heavy first solve (default)")
+parser.add_argument("--no-rti", dest="rti", action="store_false",
+                    help="plain 4-iteration iLQR at every MPC step")
+parser.add_argument("--first-iters", type=int, default=8)
+args = parser.parse_args()
 
 if __name__ == "__main__":
     _harness.tpu_or_cpu_fallback()
@@ -40,8 +55,8 @@ def main():
 
     dtype = jnp.float32
     cpu = _harness.on_cpu()
-    batch = 8 if cpu else 512
-    steps = 3 if cpu else 25
+    batch = args.batch or (8 if cpu else 512)
+    steps = args.steps or (3 if cpu else 25)
 
     system = quadrotor.make_system(quadrotor.default_params(dtype))
     params = system.default_params
@@ -65,12 +80,22 @@ def main():
 
     us0 = jnp.tile(u_h[None], (30, 1))
 
+    if args.rti:
+        # The headline bench's real-time-iteration schedule (BASELINE.md
+        # round 2): heavy planning solve once, fused always-accept RTI
+        # steps track it.
+        options = ilqr.IlqrOptions(rti=True)
+        first_options = ilqr.IlqrOptions(max_iters=args.first_iters)
+    else:
+        options = ilqr.IlqrOptions(max_iters=args.iters)
+        first_options = None
+
     def scenario(x0):
         return mpc.ilqr_mpc_rollout(
             dsys.g, running_cost, final_cost, params, x0, us0, steps,
             dt=dt, u_lower=jnp.zeros(4, dtype),
             u_upper=jnp.full(4, 4.0, dtype),
-            options=ilqr.IlqrOptions(max_iters=4),
+            options=options, first_options=first_options,
         )
 
     key = jax.random.PRNGKey(0)
@@ -91,7 +116,8 @@ def main():
 
     _harness.emit(
         "quadrotor obstacle MPC solves/s/chip (horizon=30, "
-        f"batch={batch}, {n_ok}/{batch} progressing"
+        f"batch={batch}{', RTI' if args.rti else ''}, "
+        f"{n_ok}/{batch} progressing"
         + (", CPU FALLBACK" if cpu else "") + ")",
         batch * steps / wall,
         "solves/s",
