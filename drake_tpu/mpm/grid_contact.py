@@ -65,6 +65,13 @@ class GridContactParams:
     relax: float = 1.0
     line_search_points: int = 12
     alpha_max: float = 1.5
+    # Planning/rollout fast path (the SapParameters.unroll_iterations
+    # analog): when > 0, run EXACTLY this many Newton iterations as a
+    # fixed-length scan with a single-level line search — no while_loop,
+    # so vmapped rollout lanes (MPPI samples, batched scenarios) don't
+    # lock-step to the slowest lane's iteration count.  The converged
+    # while_loop stays the default for single-stream accuracy.
+    unroll_iterations: int = 0
 
 
 class GridContactSolution(NamedTuple):

@@ -289,8 +289,13 @@ def solve_contact_tiles(
             ip = jnp.minimum(i + 1, K - 1)
             return alphas[i], alphas[ip], fs[i], fs[ip]
 
-        lo1, hi1, _, _ = refine(jnp.asarray(0.0, dtype), amax)
-        lo2, hi2, flo, fhi = refine(lo1, hi1)
+        if params.unroll_iterations > 0:
+            # Fast path: one K-point bracket + secant (resolution
+            # amax/K instead of amax/K^2 — plenty for rollout grade).
+            lo2, hi2, flo, fhi = refine(jnp.asarray(0.0, dtype), amax)
+        else:
+            lo1, hi1, _, _ = refine(jnp.asarray(0.0, dtype), amax)
+            lo2, hi2, flo, fhi = refine(lo1, hi1)
         denom = fhi - flo
         alpha = lo2 - flo * (hi2 - lo2) / jnp.where(
             jnp.abs(denom) > 1e-20, denom, 1.0
@@ -310,7 +315,15 @@ def solve_contact_tiles(
         )
 
     init = (v_star, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype))
-    v_sol, it, res = jax.lax.while_loop(cond, body, init)
+    if params.unroll_iterations > 0:
+        # Fixed-iteration scan (no while_loop): vmapped lanes don't
+        # lock-step to the slowest lane (GridContactParams docstring).
+        v_sol, it, res = jax.lax.scan(
+            lambda c, _: (body(c), None), init, None,
+            length=params.unroll_iterations,
+        )[0]
+    else:
+        v_sol, it, res = jax.lax.while_loop(cond, body, init)
 
     # Rigid reaction impulses at the solution (cuda_mpm_kernels.cuh:1617).
     vp = gather_vp(v_sol)
