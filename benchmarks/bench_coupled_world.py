@@ -26,6 +26,13 @@ parser.add_argument(
     help="grid-level implicit contact Newton on the tile pipeline "
          "(mpm/tiles_contact.py) instead of the explicit penalty",
 )
+parser.add_argument(
+    "--unroll", type=int, default=0,
+    help="with --implicit: fixed-iteration Newton (rollout fast path, "
+         "GridContactParams.unroll_iterations).  CAUTION: faults the "
+         "TPU runtime at K >= ~16 vmapped lanes (BASELINE.md round 4); "
+         "CPU / small-K only",
+)
 args = parser.parse_args()
 
 if __name__ == "__main__":
@@ -44,6 +51,7 @@ def main():
     from drake_tpu.geometry import shapes as sh
     from drake_tpu.geometry.scene import CollisionGeometry, CollisionScene
     from drake_tpu.mpm import coupling as cpl
+    from drake_tpu.mpm import grid_contact as gc
     from drake_tpu.mpm import solver as mpm
     from drake_tpu.multibody.model import ModelBuilder
 
@@ -83,6 +91,14 @@ def main():
         coupled_geometries=(0,),
         substeps_per_step=10, time_step=1e-2,
         contact_model="implicit" if args.implicit else "penalty",
+        grid_contact_params=(
+            gc.GridContactParams(
+                stiffness=5e4, damping=100.0, friction=0.3,
+                unroll_iterations=args.unroll,
+            )
+            if args.implicit and args.unroll
+            else None
+        ),
     )
     particles = mpm.make_particle_block(
         grid, (0.35, 0.42, 0.08), (0.45, 0.58, 0.18)
@@ -124,6 +140,7 @@ def main():
         f"coupled MPM+SAP batched substeps/s (K={K} rollouts, "
         f"{particles.x.shape[0]} particles, two-way impulses"
         + (", implicit grid contact" if args.implicit else "")
+        + (f" unroll={args.unroll}" if args.implicit and args.unroll else "")
         + (", CPU FALLBACK" if cpu else "") + ")",
         n_sub / wall,
         "substeps/s",

@@ -289,13 +289,8 @@ def solve_contact_tiles(
             ip = jnp.minimum(i + 1, K - 1)
             return alphas[i], alphas[ip], fs[i], fs[ip]
 
-        if params.unroll_iterations > 0:
-            # Fast path: one K-point bracket + secant (resolution
-            # amax/K instead of amax/K^2 — plenty for rollout grade).
-            lo2, hi2, flo, fhi = refine(jnp.asarray(0.0, dtype), amax)
-        else:
-            lo1, hi1, _, _ = refine(jnp.asarray(0.0, dtype), amax)
-            lo2, hi2, flo, fhi = refine(lo1, hi1)
+        lo1, hi1, _, _ = refine(jnp.asarray(0.0, dtype), amax)
+        lo2, hi2, flo, fhi = refine(lo1, hi1)
         denom = fhi - flo
         alpha = lo2 - flo * (hi2 - lo2) / jnp.where(
             jnp.abs(denom) > 1e-20, denom, 1.0
@@ -316,12 +311,21 @@ def solve_contact_tiles(
 
     init = (v_star, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype))
     if params.unroll_iterations > 0:
-        # Fixed-iteration scan (no while_loop): vmapped lanes don't
-        # lock-step to the slowest lane (GridContactParams docstring).
-        v_sol, it, res = jax.lax.scan(
-            lambda c, _: (body(c), None), init, None,
-            length=params.unroll_iterations,
-        )[0]
+        # Fixed-iteration loop: every lane does EXACTLY N iterations, so
+        # vmapped lanes never lock-step to the slowest lane's convergence
+        # (GridContactParams docstring).  TPU CAUTION: vmapping the
+        # fixed-count solve at >= ~16 lanes faults the current TPU
+        # runtime (reproduced in scan, counter-while, and both
+        # line-search forms; the CONVERGED while_loop path runs clean at
+        # K=64 in the same session — BASELINE.md round 4).  Use the fast
+        # path on CPU, unbatched, or at small K; batched TPU rollouts
+        # keep the converged default.
+        n_fix = params.unroll_iterations
+
+        def cond_fixed(carry):
+            return carry[1] < n_fix
+
+        v_sol, it, res = jax.lax.while_loop(cond_fixed, body, init)
     else:
         v_sol, it, res = jax.lax.while_loop(cond, body, init)
 

@@ -83,7 +83,7 @@ def _ruiz_equilibrate(P, q, G, b, lb, ub, sweeps: int):
     e = jnp.ones(m, dtype)
     c = jnp.asarray(1.0, dtype)
 
-    def sweep(carry, _):
+    def sweep(_i, carry):
         P_, q_, G_, d, e, c = carry
         # Row inf-norms of the scaled KKT matrix [[P, G'], [G, 0]].
         rn = jnp.maximum(
@@ -103,10 +103,15 @@ def _ruiz_equilibrate(P, q, G, b, lb, ub, sweeps: int):
         )
         P_ = gamma * P_
         q_ = gamma * q_
-        return (P_, q_, G_, d * sd, e * se, c * gamma), ()
+        return (P_, q_, G_, d * sd, e * se, c * gamma)
 
-    (P_, q_, G_, d, e, c), _ = jax.lax.scan(
-        sweep, (P, q, G, d, e, c), None, length=sweeps
+    # fori_loop (while-lowered) — semantically identical to the earlier
+    # lax.scan over sweeps.  NOTE: the round-4 crash forensics tested this
+    # lowering as a candidate fix for the vmapped-Sl1QP worker fault
+    # (crash class (b)) and it does NOT help — the fault is in the TPU
+    # runtime, not the loop lowering (BASELINE.md round 4).
+    P_, q_, G_, d, e, c = jax.lax.fori_loop(
+        0, sweeps, sweep, (P, q, G, d, e, c)
     )
     b_ = e * b
     lb_ = lb / d  # +-inf stays +-inf
