@@ -148,7 +148,19 @@ def render(
 
     sdf = lambda p: scene_sdf(geoms, R_WB, p_WB, p)
     phi_only = lambda p: sdf(p)[0]
-    grad_phi = jax.grad(phi_only)
+
+    # Surface normals by TETRAHEDRAL finite differences, not jax.grad:
+    # exactly ON a face/edge the SDF's norm-of-max terms sit at sqrt(0),
+    # whose autodiff gradient is NaN (box/cylinder pixels rendered NaN
+    # normals at ~2% of hits).  The 4-tap tetrahedron estimator is the
+    # standard ray-marcher normal and is NaN-free by construction.
+    _tet = jnp.asarray(
+        [[1, -1, -1], [-1, -1, 1], [-1, 1, -1], [1, 1, 1]], dtype
+    )
+
+    def grad_phi(p, h=1e-4):
+        taps = jax.vmap(lambda k: k * phi_only(p + h * k))(_tet)
+        return jnp.sum(taps, axis=0)
 
     fx, fy = camera.focal
     cx, cy = camera.center

@@ -83,3 +83,30 @@ class TestRgbRender:
 
         g = jax.grad(mean_red)(jnp.asarray(0.0, jnp.float64))
         assert bool(jnp.isfinite(g)) and abs(float(g)) > 1e-6
+
+
+class TestNormalsFinite:
+    def test_box_cylinder_normals_have_no_nans(self):
+        """Regression: jax.grad of the scene SDF is NaN exactly on
+        box/cylinder faces (sqrt(0) in norm-of-max) — normals use the
+        4-tap tetrahedral estimator instead (camera.py grad_phi)."""
+        geoms = [
+            CollisionGeometry(name="ground", body=-1, shape=sh.HalfSpace()),
+            CollisionGeometry(name="box", body=-1,
+                              shape=sh.Box((0.3, 0.2, 0.15)),
+                              p_BG=(0.0, 0.0, 0.25)),
+            CollisionGeometry(name="pillar", body=-1,
+                              shape=sh.Cylinder(0.06, 0.5),
+                              p_BG=(0.45, -0.3, 0.25)),
+        ]
+        cam = camera.CameraInfo(width=48, height=36, fov_y=0.9)
+        X = camera.look_at((1.3, 0.9, 0.8), (0.0, 0.0, 0.15))
+        res = camera.render(geoms, cam, X)
+        assert bool(np.isfinite(np.asarray(res.normal)).all())
+        mats = [camera.Material() for _ in geoms]
+        rgb, _ = camera.render_rgb(geoms, cam, X, mats)
+        assert bool(np.isfinite(np.asarray(rgb)).all())
+        # Normals are unit length at every hit pixel.
+        hit = np.asarray(res.label) >= 0
+        norms = np.linalg.norm(np.asarray(res.normal)[hit], axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)
