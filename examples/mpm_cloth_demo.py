@@ -36,6 +36,11 @@ def main():
     parser.add_argument("--substeps-per-frame", type=int, default=800)
     parser.add_argument("--out", default="/tmp/mpm_cloth_frames")
     parser.add_argument(
+        "--publish", action="store_true",
+        help="publish the cloth mesh over the typed wire while simulating "
+        "(the fork's DrakeVisualizer MPM path: topology once on "
+        "DEFORMABLE_MESHES_INIT, vertices per frame on _UPDATE)")
+    parser.add_argument(
         "--meshcat-html", default="",
         help="also bake the rollout into a standalone meshcat HTML file "
         "(the fork's MeshcatVisualizer MpmPortData path)")
@@ -68,6 +73,20 @@ def main():
     )
 
     os.makedirs(args.out, exist_ok=True)
+    wire_pub = wire_sub = None
+    if args.publish:
+        from drake_tpu.io import messages as msgs
+        from drake_tpu.io.pubsub import PubSub
+        from drake_tpu.viz.mpm_visualization import (
+            DeformableMeshWirePublisher,
+        )
+
+        node = PubSub("memq://")
+        wire_sub = msgs.TypedSubscriber(
+            node, "DEFORMABLE_MESHES_UPDATE",
+            msgs.experimental_lcmt_deformable_tri_meshes_update)
+        wire_pub = DeformableMeshWirePublisher(
+            node, [("cloth", np.asarray(c.faces), int(c.x.shape[0]))])
     state = c
     mesh_frames = [np.asarray(c.x)]
     t0 = time.perf_counter()
@@ -77,6 +96,9 @@ def main():
         zr = (float(state.x[:, 2].min()), float(state.x[:, 2].max()))
         fz = float(-acc[0, 5]) / (args.substeps_per_frame * grid.dt)
         write_obj(os.path.join(args.out, f"cloth_{frame:04d}.obj"), state.x, c.faces)
+        if wire_pub is not None:
+            wire_pub.publish(frame * args.substeps_per_frame * grid.dt,
+                             [np.asarray(state.x)])
         print(f"frame {frame}: z [{zr[0]:.3f}, {zr[1]:.3f}] support {fz:.2f} N")
         if not bool(jnp.all(jnp.isfinite(state.x))):
             print("CLOTH FAILURE (non-finite)")
@@ -85,6 +107,11 @@ def main():
     total = args.frames * args.substeps_per_frame
     print(f"{total} substeps in {wall:.1f}s -> {total / wall:.0f} substeps/s "
           f"({c.x.shape[0]} verts); OBJ frames in {args.out}")
+    if wire_sub is not None:
+        got = wire_sub.poll()
+        print(f"wire: {wire_sub.count} DEFORMABLE_MESHES_UPDATE messages, "
+              f"last timestamp {got.timestamp} us, "
+              f"{got.meshes[0].vertices_W.shape[0]} verts")
     if args.meshcat_html:
         from drake_tpu.viz import mpm_visualization as mviz
         from drake_tpu.viz.meshcat import Meshcat
