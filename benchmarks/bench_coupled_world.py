@@ -26,6 +26,12 @@ parser.add_argument(
     help="grid-level implicit contact Newton on the tile pipeline "
          "(mpm/tiles_contact.py) instead of the explicit penalty",
 )
+parser.add_argument("--max-iters", type=int, default=0,
+                    help="with --implicit: Newton iteration cap "
+                         "(0 = GridContactParams default 20)")
+parser.add_argument("--ls-points", type=int, default=0,
+                    help="with --implicit: exact line-search bracket points "
+                         "(0 = default 12)")
 parser.add_argument(
     "--unroll", type=int, default=0,
     help="with --implicit: fixed-iteration Newton (rollout fast path, "
@@ -95,8 +101,11 @@ def main():
             gc.GridContactParams(
                 stiffness=5e4, damping=100.0, friction=0.3,
                 unroll_iterations=args.unroll,
+                max_iterations=args.max_iters or 20,
+                line_search_points=args.ls_points or 12,
             )
-            if args.implicit and args.unroll
+            if args.implicit
+            and (args.unroll or args.max_iters or args.ls_points)
             else None
         ),
     )
