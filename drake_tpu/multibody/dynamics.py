@@ -205,6 +205,18 @@ def mass_matrix(model: MultibodyModel, params: MultibodyParams, q):
                 blk = S_j.T @ F  # (nvj, nvi)
                 M = M.at[vo_j : vo_j + nvj, vo_i : vo_i + nvi].set(blk)
                 M = M.at[vo_i : vo_i + nvi, vo_j : vo_j + nvj].set(blk.T)
+
+    # Reflected rotor inertia: gear_ratio^2 * rotor_inertia added to the
+    # mass-matrix diagonal of each 1-dof joint's velocity (reference
+    # multibody/tree/joint_actuator.h @ref reflected_inertia; the rotor's
+    # spin kinetic energy 1/2 (G qdot)^2 I_r seen in joint space).
+    refl = getattr(params, "reflected_inertia", None)
+    if refl is not None:
+        for i in range(nb):
+            _, _, S_i = joints[i]
+            if S_i.shape[1] == 1:
+                vo_i = model.v_offsets[i]
+                M = M.at[vo_i, vo_i].add(refl[i])
     return M
 
 

@@ -55,6 +55,11 @@ class MultibodyParams:
     # (nb,) screw pitch: axial translation per full revolution (reference
     # multibody/tree/screw_joint.h screw_pitch semantics); 0 for other joints.
     screw_pitch: jnp.ndarray
+    # (nb,) REFLECTED rotor inertia per 1-dof joint: gear_ratio^2 *
+    # rotor_inertia (reference multibody/tree/joint_actuator.h
+    # @ref reflected_inertia) — added to the mass-matrix diagonal of the
+    # joint's velocity.  None (pre-actuator models) reads as zeros.
+    reflected_inertia: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,6 +129,7 @@ class ModelBuilder:
         self._X_PJ_p: List[np.ndarray] = []
         self._axis: List[np.ndarray] = []
         self._damping: List[float] = []
+        self._reflected: List[float] = []
         self._screw_pitch: List[float] = []
         self._gravity = np.asarray(gravity, dtype=np.float64)
 
@@ -143,6 +149,8 @@ class ModelBuilder:
         joint_name: Optional[str] = None,
         screw_pitch: float = 0.0,
         axis2: Sequence[float] = (0, 1, 0),
+        rotor_inertia: float = 0.0,
+        gear_ratio: float = 1.0,
     ) -> int:
         """Add a body connected to `parent` (None = world) by a joint.
 
@@ -178,6 +186,8 @@ class ModelBuilder:
                 axis=axis2,
                 damping=damping,
                 joint_name=(joint_name or f"{name}_joint") + "_2",
+                rotor_inertia=rotor_inertia,
+                gear_ratio=gear_ratio,
             )
         if parent is None:
             pidx = -1
@@ -201,6 +211,7 @@ class ModelBuilder:
         self._axis.append(a / n if n > 0 else a)
         self._damping.append(float(damping))
         self._screw_pitch.append(float(screw_pitch))
+        self._reflected.append(float(gear_ratio) ** 2 * float(rotor_inertia))
         return idx
 
     def build(self, dtype=jnp.float32) -> Tuple[MultibodyModel, MultibodyParams]:
@@ -220,5 +231,6 @@ class ModelBuilder:
             damping=jnp.asarray(np.array(self._damping), dtype),
             gravity=jnp.asarray(self._gravity, dtype),
             screw_pitch=jnp.asarray(np.array(self._screw_pitch), dtype),
+            reflected_inertia=jnp.asarray(np.array(self._reflected), dtype),
         )
         return model, params

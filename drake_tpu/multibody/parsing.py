@@ -99,6 +99,27 @@ def parse_urdf(
     links = {l.get("name"): l for l in root.findall("link")}
     joints = root.findall("joint")
 
+    # Actuator rotor inertia / gear ratio from <transmission> blocks (the
+    # drake:rotor_inertia / drake:gear_ratio URDF extension, reference
+    # detail_urdf_parser.cc:832-860) -> reflected inertia per joint.
+    rotor_by_joint = {}
+    for tr in root.findall("transmission"):
+        tj = tr.find("joint")
+        if tj is None:
+            continue
+        rotor, gear = 0.0, 1.0
+        for act in tr.findall("actuator"):
+            for el in act:
+                # Namespace-agnostic: ET renders drake:rotor_inertia as
+                # {http://drake.mit.edu}rotor_inertia when xmlns:drake is
+                # declared; match on the local name.
+                local = el.tag.rsplit("}", 1)[-1]
+                if local == "rotor_inertia":
+                    rotor = float(el.get("value", el.text or 0.0))
+                elif local == "gear_ratio":
+                    gear = float(el.get("value", el.text or 0.0))
+        rotor_by_joint[tj.get("name")] = (rotor, gear)
+
     child_of = {}
     for j in joints:
         child = j.find("child").get("link")
@@ -136,6 +157,7 @@ def parse_urdf(
             dyn_el = joint_el.find("dynamics")
             damping = float(dyn_el.get("damping", "0")) if dyn_el is not None else 0.0
             jname = joint_el.get("name")
+        rotor, gear = rotor_by_joint.get(jname, (0.0, 1.0))
         builder.add_body(
             name,
             parent=parent_body,
@@ -148,6 +170,8 @@ def parse_urdf(
             axis=axis,
             damping=damping,
             joint_name=jname,
+            rotor_inertia=rotor,
+            gear_ratio=gear,
         )
         # Recurse into children (joints whose parent is this link).
         for j in joints:

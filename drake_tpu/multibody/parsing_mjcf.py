@@ -336,6 +336,11 @@ def parse_mjcf(
                 n = np.linalg.norm(axis)
                 axis = axis / n if n > 0 else axis
                 damping = float(a.get("damping", "0"))
+                # MJCF "armature" IS reflected rotor inertia (added to the
+                # joint-space mass-matrix diagonal); the reference parser
+                # only warns-unsupported (detail_mujoco_parser.cc:396-398)
+                # — here it maps straight onto reflected_inertia.
+                armature = float(a.get("armature", "0"))
                 last = k == len(joints) - 1
                 is_first = k == 0
                 builder.add_body(
@@ -350,6 +355,7 @@ def parse_mjcf(
                     axis=axis,
                     damping=damping,
                     joint_name=a.get("name", f"{name}_joint{k}"),
+                    rotor_inertia=armature,
                 )
                 pname = name if last else f"{name}__j{k}"
                 shift = shift + jpos

@@ -251,3 +251,90 @@ class TestScrewJoint:
         e1 = float(dyn.total_energy(model, params, xs[-1, :1], xs[-1, 1:]))
         assert float(xs[-1, 0]) < 0  # fell -> spun negative (z descends)
         assert abs(e1 - e0) < 2e-3 * max(1.0, abs(e0))
+
+
+class TestReflectedInertia:
+    """JointActuator reflected rotor inertia (reference
+    multibody/tree/joint_actuator.h @ref reflected_inertia)."""
+
+    def _pendulum(self, rotor=0.0, gear=1.0):
+        b = ModelBuilder(gravity=(0.0, 0.0, -9.81))
+        b.add_body(
+            "arm", parent=None, joint_type="revolute", mass=1.0,
+            com=(0, 0, -0.5), inertia_com=np.eye(3) * 1e-3,
+            axis=(0, 1, 0), rotor_inertia=rotor, gear_ratio=gear,
+        )
+        return b.build(jnp.float64)
+
+    def test_mass_matrix_diagonal_gains_G2_Ir(self):
+        from drake_tpu.multibody import dynamics as dyn
+
+        q = jnp.asarray([0.3])
+        m0, p0 = self._pendulum()
+        m1, p1 = self._pendulum(rotor=0.005, gear=50.0)
+        M0 = dyn.mass_matrix(m0, p0, q)
+        M1 = dyn.mass_matrix(m1, p1, q)
+        np.testing.assert_allclose(
+            float(M1[0, 0] - M0[0, 0]), 50.0**2 * 0.005, rtol=1e-12
+        )
+
+    def test_forward_dynamics_slows_down(self):
+        from drake_tpu.multibody import dynamics as dyn
+
+        q = jnp.asarray([0.5])
+        v = jnp.zeros(1)
+        tau = jnp.asarray([1.0])
+        m0, p0 = self._pendulum()
+        m1, p1 = self._pendulum(rotor=0.005, gear=50.0)
+        a0 = float(dyn.forward_dynamics(m0, p0, q, v, tau)[0])
+        a1 = float(dyn.forward_dynamics(m1, p1, q, v, tau)[0])
+        # Same torque, extra reflected inertia -> smaller acceleration,
+        # with the exact ratio M0 / (M0 + G^2 Ir).
+        M0 = float(dyn.mass_matrix(m0, p0, q)[0, 0])
+        np.testing.assert_allclose(a1 / a0, M0 / (M0 + 12.5), rtol=1e-9)
+
+    def test_urdf_transmission_tags(self):
+        from drake_tpu.multibody import parsing
+
+        urdf = """<?xml version="1.0"?>
+        <robot name="r" xmlns:drake="http://drake.mit.edu">
+          <link name="base"/>
+          <link name="arm">
+            <inertial><mass value="1.0"/>
+              <inertia ixx="0.01" iyy="0.01" izz="0.01"
+                       ixy="0" ixz="0" iyz="0"/>
+            </inertial>
+          </link>
+          <joint name="shoulder" type="revolute">
+            <parent link="base"/><child link="arm"/>
+            <axis xyz="0 1 0"/>
+            <limit effort="100" lower="-3" upper="3"/>
+          </joint>
+          <transmission name="t1">
+            <joint name="shoulder"/>
+            <actuator name="m1">
+              <drake:rotor_inertia value="0.002"/>
+              <drake:gear_ratio value="100"/>
+            </actuator>
+          </transmission>
+        </robot>"""
+        model, params = parsing.parse_urdf(urdf, floating_base=False)
+        i = model.joint_names.index("shoulder")
+        np.testing.assert_allclose(
+            float(params.reflected_inertia[i]), 100.0**2 * 0.002
+        )
+
+    def test_mjcf_armature(self):
+        from drake_tpu.multibody import parsing_mjcf
+
+        xml = """<mujoco model="m">
+          <worldbody>
+            <body name="arm" pos="0 0 0">
+              <joint name="j" type="hinge" axis="0 1 0" armature="0.11"/>
+              <geom type="sphere" size="0.05" mass="1"/>
+            </body>
+          </worldbody>
+        </mujoco>"""
+        model, params, _ = parsing_mjcf.parse_mjcf(xml)
+        i = model.joint_names.index("j")
+        np.testing.assert_allclose(float(params.reflected_inertia[i]), 0.11)
