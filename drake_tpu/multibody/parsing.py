@@ -280,6 +280,33 @@ def _drake_proximity_props(col_el):
     return out
 
 
+def parse_urdf_couplers(source: str):
+    """URDF <mimic> tags as SAP coupler specs (reference
+    detail_urdf_parser.cc:650-714 maps mimic onto AddCouplerConstraint).
+
+    A joint J with <mimic joint="other" multiplier="m" offset="o"/> obeys
+    q_J = m * q_other + o — exactly the coupler family's convention
+    (contact/sap.py couplers).  Returns [(joint, mimicked, ratio, offset)]
+    ready for make_discrete_system(couplers=...).
+    """
+    if source.lstrip().startswith("<"):
+        root = ET.fromstring(source)
+    else:
+        root = ET.parse(source).getroot()
+    out = []
+    for j in root.findall("joint"):
+        mim = j.find("mimic")
+        if mim is None:
+            continue
+        out.append((
+            j.get("name"),
+            mim.get("joint"),
+            float(mim.get("multiplier", "1")),
+            float(mim.get("offset", "0")),
+        ))
+    return out
+
+
 def parse_urdf_geometry(
     source: str,
     model: MultibodyModel,

@@ -338,3 +338,58 @@ class TestReflectedInertia:
         model, params, _ = parsing_mjcf.parse_mjcf(xml)
         i = model.joint_names.index("j")
         np.testing.assert_allclose(float(params.reflected_inertia[i]), 0.11)
+
+
+class TestUrdfMimic:
+    """URDF <mimic> -> coupler constraints (reference
+    detail_urdf_parser.cc maps mimic onto AddCouplerConstraint)."""
+
+    URDF = """<?xml version="1.0"?>
+    <robot name="g">
+      <link name="base"/>
+      <link name="left">
+        <inertial><mass value="0.2"/>
+          <inertia ixx="1e-4" iyy="1e-4" izz="1e-4"
+                   ixy="0" ixz="0" iyz="0"/>
+        </inertial>
+      </link>
+      <link name="right">
+        <inertial><mass value="0.2"/>
+          <inertia ixx="1e-4" iyy="1e-4" izz="1e-4"
+                   ixy="0" ixz="0" iyz="0"/>
+        </inertial>
+      </link>
+      <joint name="left_slider" type="prismatic">
+        <parent link="base"/><child link="left"/>
+        <axis xyz="1 0 0"/>
+        <limit effort="20" lower="-0.05" upper="0.05"/>
+      </joint>
+      <joint name="right_slider" type="prismatic">
+        <parent link="base"/><child link="right"/>
+        <axis xyz="1 0 0"/>
+        <limit effort="20" lower="-0.05" upper="0.05"/>
+        <mimic joint="left_slider" multiplier="-1" offset="0"/>
+      </joint>
+    </robot>"""
+
+    def test_parse_and_track(self):
+        from drake_tpu.contact import plant as cplant
+        from drake_tpu.geometry.scene import CollisionScene
+        from drake_tpu.multibody import parsing
+
+        model, params = parsing.parse_urdf(self.URDF, dtype=jnp.float64)
+        couplers = parsing.parse_urdf_couplers(self.URDF)
+        assert couplers == [("right_slider", "left_slider", -1.0, 0.0)]
+
+        dsys = cplant.make_discrete_system(
+            model, params, CollisionScene.build([]), 1e-3,
+            actuated_joints=["left_slider"], couplers=couplers,
+        )
+        x = jnp.zeros(4, jnp.float64)
+        u = jnp.asarray([0.5], jnp.float64)  # push only the LEFT joint
+        step = jax.jit(lambda xx: dsys.g(params, xx, u))
+        for _ in range(200):
+            x = step(x)
+        qL, qR = float(x[0]), float(x[1])
+        assert abs(qL) > 1e-3  # it moved
+        np.testing.assert_allclose(qR, -qL, atol=1e-5)  # mirror tracking
