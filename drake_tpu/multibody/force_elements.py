@@ -60,6 +60,7 @@ class ForceElementSet:
     spring_bodies: Tuple[Tuple[int, int], ...]  # (body_a, body_b) pairs
     joint_spring_joints: Tuple[int, ...]  # joint (== body) indices, 1-dof
     bushing_bodies: Tuple[Tuple[int, int], ...]  # (body_a, body_c) pairs
+    door_hinge_joints: Tuple[int, ...] = ()  # 1-dof revolute joints
 
 
 @pytree_dataclass
@@ -82,6 +83,11 @@ class ForceElementParams:
     bu_X_CM_p: jnp.ndarray  # (nbu, 3)
     bu_k: jnp.ndarray  # (nbu, 6) diagonal stiffness [k_rpy; k_xyz]
     bu_d: jnp.ndarray  # (nbu, 6) diagonal damping [d_rpy; d_xyz]
+    # door hinges (reference multibody/tree/door_hinge.h DoorHingeConfig):
+    # columns [spring_zero_angle, spring_constant, dynamic_friction,
+    # static_friction, viscous_friction, catch_width, catch_torque,
+    # motion_threshold]
+    dh_cfg: jnp.ndarray = None  # (ndh, 8)
 
 
 class ForceElementBuilder:
@@ -93,6 +99,7 @@ class ForceElementBuilder:
         self._sd: List[Tuple[int, int, np.ndarray, np.ndarray, float, float,
                              float]] = []
         self._js: List[Tuple[int, float, float]] = []
+        self._dh: List[Tuple[int, np.ndarray]] = []
         self._bu: List[Tuple[int, int, np.ndarray, np.ndarray, np.ndarray,
                              np.ndarray, np.ndarray, np.ndarray]] = []
 
@@ -119,6 +126,40 @@ class ForceElementBuilder:
                 f"joint springs need a 1-dof joint; {joint} is "
                 f"{self._model.joint_types[i]}")
         self._js.append((i, float(nominal), float(stiffness)))
+        return self
+
+    def add_door_hinge(
+        self, joint: str, *,
+        spring_zero_angle: float = 0.0,
+        spring_constant: float = 1.5,
+        dynamic_friction_torque: float = 3.0,
+        static_friction_torque: float = 2.0,
+        viscous_friction: float = 1.0,
+        catch_width: float = 0.02,
+        catch_torque: float = 15.0,
+        motion_threshold: float = 0.001,
+    ) -> "ForceElementBuilder":
+        """DoorHinge (reference multibody/tree/door_hinge.h; defaults are
+        the reference's dishwasher-door DoorHingeConfig): a "christmas
+        tree" of empirical hinge torques — torsional spring toward
+        spring_zero_angle, a tanh-doublet catch of width/torque
+        (catch_width, catch_torque) near closed, and
+        dynamic/static/viscous friction smoothed by tanh curves at
+        motion_threshold.  catch_width and motion_threshold must be
+        positive (the smooth curves divide by them; the reference's
+        zero-value special cases are covered by catch_torque=0 /
+        plain joint damping instead)."""
+        i = self._model.joint_names.index(joint)
+        if self._model.joint_types[i] != "revolute":
+            raise ValueError(f"door hinges need a revolute joint; {joint} "
+                             f"is {self._model.joint_types[i]}")
+        if catch_width <= 0 or motion_threshold <= 0:
+            raise ValueError("catch_width and motion_threshold must be > 0")
+        self._dh.append((i, np.asarray([
+            spring_zero_angle, spring_constant, dynamic_friction_torque,
+            static_friction_torque, viscous_friction, catch_width,
+            catch_torque, motion_threshold,
+        ], np.float64)))
         return self
 
     def add_bushing(
@@ -149,6 +190,7 @@ class ForceElementBuilder:
             spring_bodies=tuple((a, b) for a, b, *_ in self._sd),
             joint_spring_joints=tuple(i for i, _, _ in self._js),
             bushing_bodies=tuple((a, c) for a, c, *_ in self._bu),
+            door_hinge_joints=tuple(i for i, _ in self._dh),
         )
 
         def stack(rows, shape):
@@ -169,6 +211,7 @@ class ForceElementBuilder:
             bu_X_CM_p=stack([r[5] for r in self._bu], (3,)),
             bu_k=stack([r[6] for r in self._bu], (6,)),
             bu_d=stack([r[7] for r in self._bu], (6,)),
+            dh_cfg=stack([cfg for _, cfg in self._dh], (8,)),
         )
         return fe, params
 
@@ -240,6 +283,26 @@ def generalized_forces(
         tau = tau.at[vo].add(
             -fp.js_stiffness[e] * (q[qo] - fp.js_nominal[e]))
 
+    # --- door hinges (reference door_hinge.cc CalcHingeTorque) ---------
+    for e, i in enumerate(fe.door_hinge_joints):
+        qo, vo = model.q_offsets[i], model.v_offsets[i]
+        (q0, k_ts, k_df, k_sf, k_vf, w, k_c, vt) = [
+            fp.dh_cfg[e, j] for j in range(8)
+        ]
+        angle, rate = q[qo], v[vo]
+        # Friction: tanh curve s at the motion threshold, its doublet for
+        # the static-friction bump (door_hinge.cc:93-103).
+        s_v = jnp.tanh(rate / vt)
+        tau_f = -(k_df * s_v + k_sf * 2.0 * s_v * (1.0 - s_v * s_v)
+                  + k_vf * rate)
+        # Spring + catch: doublet of width catch_width centered at w/2
+        # (door_hinge.cc:107-118).
+        c = w / 2.0
+        s_q = jnp.tanh((angle - c) / c)
+        tau_s = (k_c * 2.0 * s_q * (1.0 - s_q * s_q)
+                 - k_ts * (angle - q0))
+        tau = tau.at[vo].add(tau_f + tau_s)
+
     # --- bushings ------------------------------------------------------
     for e, (a, c) in enumerate(fe.bushing_bodies):
 
@@ -285,6 +348,16 @@ def spring_potential_energy(
     for e, i in enumerate(fe.joint_spring_joints):
         dq = q[model.q_offsets[i]] - fp.js_nominal[e]
         U = U + 0.5 * fp.js_stiffness[e] * dq**2
+    for e, i in enumerate(fe.door_hinge_joints):
+        q0, k_ts = fp.dh_cfg[e, 0], fp.dh_cfg[e, 1]
+        w, k_c = fp.dh_cfg[e, 5], fp.dh_cfg[e, 6]
+        angle = q[model.q_offsets[i]]
+        c = w / 2.0
+        # integral of the catch doublet: U_c = -k_c * c * s((q-c)/c)^2
+        # (d/dq [c s^2] = 2 s (1-s^2) = doublet); conservative parts only
+        # (reference CalcHingeConservativePower uses the spring torque).
+        U = U + 0.5 * k_ts * (angle - q0) ** 2
+        U = U - k_c * c * jnp.tanh((angle - c) / c) ** 2
     for e, (a, c) in enumerate(fe.bushing_bodies):
         R_WF = R_WB[a] @ fp.bu_X_AF_R[e]
         p_WF = p_WB[a] + R_WB[a] @ fp.bu_X_AF_p[e]

@@ -220,3 +220,78 @@ class TestBushing:
         # near the anchor attachment, well inside the initial offset
         assert float(jnp.linalg.norm(xs[-1, 4:7] - jnp.array(
             [-0.05, 0.0, 0.3]))) < 0.08
+
+
+class TestDoorHinge:
+    """DoorHinge force element (reference multibody/tree/door_hinge.h) —
+    dishwasher-door torques: spring + tanh-doublet catch + smooth
+    dynamic/static/viscous friction."""
+
+    def _door(self):
+        b = ModelBuilder(gravity=(0.0, 0.0, 0.0))
+        b.add_body(
+            "door", parent=None, joint_type="revolute", mass=2.0,
+            com=(0.3, 0, 0), inertia_com=np.eye(3) * 0.05, axis=(0, 0, 1),
+        )
+        model, params = b.build(jnp.float64)
+        feb = fel.ForceElementBuilder(model)
+        feb.add_door_hinge("door_joint")  # reference default config
+        fe, fp = feb.build(jnp.float64)
+        return model, params, fe, fp
+
+    def test_torque_matches_reference_formula(self):
+        model, params, fe, fp = self._door()
+        angle, rate = 0.3, 0.5
+        tau = float(fel.generalized_forces(
+            model, fp, fe, fp, jnp.asarray([angle]), jnp.asarray([rate])
+        )[0]) if False else float(fel.generalized_forces(
+            model, params, fe, fp, jnp.asarray([angle]), jnp.asarray([rate])
+        )[0])
+        # Hand evaluation of door_hinge.cc CalcHingeTorque with the
+        # DoorHingeConfig defaults (k_ts=1.5, k_df=3, k_sf=2, k_vf=1,
+        # w=0.02, k_c=15, vt=0.001, q0=0).
+        s_v = np.tanh(rate / 0.001)
+        tau_f = -(3 * s_v + 2 * 2 * s_v * (1 - s_v**2) + 1 * rate)
+        c = 0.01
+        s_q = np.tanh((angle - c) / c)
+        tau_s = 15 * 2 * s_q * (1 - s_q**2) - 1.5 * angle
+        np.testing.assert_allclose(tau, tau_f + tau_s, rtol=1e-12)
+
+    def test_catch_torque_is_gradient_of_energy(self):
+        model, params, fe, fp = self._door()
+        g = jax.grad(lambda qq: fel.spring_potential_energy(
+            model, params, fe, fp, qq))(jnp.asarray([0.004]))
+        # At zero velocity the hinge torque is purely conservative:
+        # tau = -dU/dq.
+        tau = fel.generalized_forces(
+            model, params, fe, fp, jnp.asarray([0.004]), jnp.zeros(1))
+        np.testing.assert_allclose(float(tau[0]), -float(g[0]), atol=1e-9)
+
+    def test_rests_motionless_then_shuts_into_the_catch(self):
+        """The reference's documented dishwasher behavior (door_hinge.h
+        :117-121): friction alone holds the door motionless at any angle;
+        pushed shut with enough energy, the catch grabs and holds it."""
+        from drake_tpu.multibody import plant as mplant
+        from drake_tpu.systems import simulator
+
+        model, params, fe, fp = self._door()
+        sys_ = mplant.make_system(
+            model, params,
+            applied_forces=lambda p, q, v, t: fel.generalized_forces(
+                model, p, fe, fp, q, v))
+
+        # (a) released open: static+dynamic friction (~5 Nm) beats the
+        # spring (1.5 * 0.8 Nm) — the door rests where it is.
+        x0 = jnp.asarray([0.8, 0.0], jnp.float64)
+        us = jnp.zeros((2000, 1), jnp.float64)
+        xs, _ = simulator.simulate(sys_, params, x0, us, 2e-3)
+        assert abs(float(xs[-1, 1])) < 0.02
+        assert abs(float(xs[-1, 0]) - 0.8) < 0.05
+
+        # (b) pushed shut hard enough to beat friction work, the door
+        # reaches the catch and stays closed.
+        x0 = jnp.asarray([0.3, -4.0], jnp.float64)
+        xs, _ = simulator.simulate(sys_, params, x0, us, 2e-3)
+        qf, vf = float(xs[-1, 0]), float(xs[-1, 1])
+        assert abs(vf) < 0.05, vf
+        assert qf < 0.05, qf
