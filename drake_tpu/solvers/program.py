@@ -226,6 +226,27 @@ class MathematicalProgram:
             _Record("psd", var, A=A, b=F[0].reshape(m * m), c=float(m))
         )
 
+    def AddQuadraticConstraint(self, Q, b, lb, ub, var: Variables):
+        """lb <= 0.5 x'Qx + b'x <= ub (reference AddQuadraticConstraint).
+
+        Stored as a generic (fn-based) record so every solver path (SQP,
+        AL-Newton) works unchanged, with the quadratic structure stashed
+        for solvers/semidefinite_relaxation.make_semidefinite_relaxation.
+        """
+        Qn = np.asarray(Q, float)
+        bn = np.asarray(b, float).reshape(-1)
+
+        def fn(x, Qj=jnp.asarray(Qn), bj=jnp.asarray(bn)):
+            return 0.5 * x @ (Qj.astype(x.dtype) @ x) + bj.astype(x.dtype) @ x
+
+        self._constraints.append(
+            _Record(
+                "generic", var, fn=fn, Q=Qn, b=bn,
+                lb=np.atleast_1d(np.asarray(lb, float)),
+                ub=np.atleast_1d(np.asarray(ub, float)),
+            )
+        )
+
     def AddConstraint(self, fn: Callable, lb, ub, var: Variables):
         """Generic constraint lb <= fn(x_block) <= ub (jax-traceable)."""
         out_shape = jax.eval_shape(
