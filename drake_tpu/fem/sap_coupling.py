@@ -114,6 +114,13 @@ def sap_fem_step(
     frames = jnp.concatenate(frames_all)  # (nc, 3, 3)
     v_surf = jnp.concatenate(vsurf)  # (nc, 3)
     nc = N * G
+    # Dirichlet-pinned vertices are anchored to the finger/world, not solved
+    # for: their Jacobian rows are zero, so a contact row for them would get
+    # w = 0 regularization (NaN gammas) and a fictitious unbalanced impulse.
+    # Mark them well-separated so they project to zero inside the solver.
+    free_c = jnp.tile(freem, G)  # (nc,)
+    phi0 = jnp.where(free_c > 0, phi0, 1.0)
+    v_surf = v_surf * free_c[:, None]
 
     # J: (nc, 3, nv) — vertex-velocity selector rotated into the contact
     # frame (vc = frame^T (v_vertex - v_surface); the surface term goes to
@@ -132,7 +139,8 @@ def sap_fem_step(
     # Regularization + bias (assemble conventions, contact/sap.py:290-307).
     A_inv_Jt = jnp.linalg.solve(A, J.reshape(-1, nv).T).T.reshape(J.shape)
     W_diag = jnp.einsum("cik,cjk->cij", J, A_inv_Jt)
-    w = jnp.trace(W_diag, axis1=1, axis2=2) / 3.0
+    # Floor keeps R positive for zero-Jacobian (pinned-vertex) rows.
+    w = jnp.maximum(jnp.trace(W_diag, axis1=1, axis2=2) / 3.0, 1e-14)
     k = jnp.full((nc,), contact.stiffness, dtype)
     tau_d = jnp.full((nc,), contact.dissipation, dtype)
     Rn_phys = 1.0 / (h * k * (h + tau_d))

@@ -128,3 +128,44 @@ class TestSapFemStep:
         g = jax.grad(final_z)(jnp.asarray(0.01, F64))
         assert bool(jnp.isfinite(g))
         assert abs(float(g)) > 1e-3
+
+
+class TestPinnedVertexContact:
+    def test_pinned_bubble_squeeze_impulses_finite(self):
+        """Dirichlet-pinned vertices in (or near) contact must not poison
+        the rigid impulses: their zero Jacobian rows used to yield w = 0
+        regularization and NaN gammas (the bubble-gripper scenario —
+        examples/multibody/deformable/bubble_gripper.cc role)."""
+        pad = (0.02, 0.06, 0.06)
+        overlap, half = 0.002, 0.02
+        verts, tets = fem_mesh.box_tet_mesh(2, 3, 3, size=pad)
+        verts = np.asarray(verts) - np.asarray(pad) / 2
+        verts[:, 0] += -half - pad[0] / 2 + overlap
+        pinned = verts[:, 0] < verts[:, 0].min() + 1e-6
+        model = make_model(
+            verts, tets, density=200.0, youngs_modulus=2e4,
+            poisson_ratio=0.4, dirichlet_mask=pinned, dtype=F64,
+        )
+        from drake_tpu.geometry import shapes as sh
+
+        geom = RigidGeom(
+            shape=sh.Box((0.04, 0.04, 0.04)), body_index=0,
+            R_WG=jnp.eye(3, dtype=F64), p_WG=jnp.zeros(3, F64),
+            p_WB=jnp.zeros(3, F64), V_WB=jnp.zeros(6, F64),
+        )
+        contact = fsc.FemContactParams(
+            stiffness=1e6, dissipation=0.1, friction=1.0
+        )
+        state = FemState(x=model.rest_x, v=jnp.zeros_like(model.rest_x))
+        step = jax.jit(
+            lambda s: fsc.sap_fem_step(model, s, 2e-3, (geom,), contact)
+        )
+        res = None
+        for _ in range(20):
+            res = step(state)
+            state = res.state
+        imp = np.asarray(res.impulses[0])
+        assert np.all(np.isfinite(imp))
+        assert np.all(np.isfinite(np.asarray(state.x)))
+        # The squeezed pad pushes the box AWAY from itself (+x).
+        assert imp[3] > 1e-4
