@@ -177,3 +177,148 @@ def symbolic_vector_system(
     return ContinuousSystem(
         f=f, num_states=len(state), num_inputs=len(inputs), output=out_fn
     )
+
+
+# ---------------------------------------------------------------------------
+# Wiring blocks (systems/primitives/ utility systems).  The reference makes
+# each a LeafSystem wired in a DiagramBuilder; in a functional framework the
+# stateless ones are pure callables (compose them inside a policy or output
+# map) and the stateful ones are DiscreteSystems.  References: adder.h,
+# gain.h, saturation.h, pass_through.h, multiplexer.h, demultiplexer.h,
+# constant_vector_source.h, sine.h, wrap_to_system.h, port_switch.h,
+# discrete_derivative.h.
+# ---------------------------------------------------------------------------
+
+
+def constant_vector_source(value) -> Callable:
+    """u(t) = value (ConstantVectorSource role)."""
+    value = jnp.asarray(value)
+    return lambda t=0.0: value
+
+
+def sine_source(amplitude, frequency, phase=0.0) -> Callable:
+    """y(t) = amplitude * sin(2*pi*frequency*t + phase) (Sine role;
+    sine.h parameterizes by angular frequency — pass frequency in Hz)."""
+    amplitude = jnp.asarray(amplitude)
+
+    def source(t):
+        return amplitude * jnp.sin(2.0 * jnp.pi * frequency * t + phase)
+
+    return source
+
+
+def adder(*signals):
+    """Elementwise sum (Adder role)."""
+    total = jnp.asarray(signals[0])
+    for s in signals[1:]:
+        total = total + jnp.asarray(s)
+    return total
+
+
+def gain(k, u):
+    """y = k * u, scalar or per-channel k (Gain role)."""
+    return jnp.asarray(k) * jnp.asarray(u)
+
+
+def saturation(u, u_min, u_max):
+    """y = clip(u, u_min, u_max) (Saturation role)."""
+    return jnp.clip(jnp.asarray(u), u_min, u_max)
+
+
+def pass_through(u):
+    """Identity (PassThrough role — feedthrough stub while wiring)."""
+    return jnp.asarray(u)
+
+
+def multiplexer(*inputs):
+    """Concatenate input vectors into one (Multiplexer role)."""
+    return jnp.concatenate([jnp.atleast_1d(jnp.asarray(u)) for u in inputs])
+
+
+def demultiplexer(u, sizes: Sequence[int]):
+    """Split u into vectors of the given sizes (Demultiplexer role)."""
+    u = jnp.asarray(u)
+    out, start = [], 0
+    for s in sizes:
+        out.append(u[start:start + s])
+        start += s
+    return tuple(out)
+
+
+def port_switch(index, *inputs):
+    """Select inputs[index] with a traced index (PortSwitch role)."""
+    return jnp.stack([jnp.asarray(u) for u in inputs])[index]
+
+
+def wrap_to_system(u, low, high, indices: Optional[Sequence[int]] = None):
+    """Wrap selected channels into [low, high) (WrapToSystem role,
+    math::wrap_to applied per channel)."""
+    u = jnp.asarray(u)
+    wrapped = low + jnp.mod(u - low, high - low)
+    if indices is None:
+        return wrapped
+    mask = jnp.zeros(u.shape[-1], bool).at[jnp.asarray(indices)].set(True)
+    return jnp.where(mask, wrapped, u)
+
+
+def first_order_hold(times, values):
+    """FOH lookup u(t): linear interpolation through (times, values)
+    (the trajectory-free counterpart of zero_order_hold above)."""
+    times = jnp.asarray(times)
+    values = jnp.asarray(values)
+
+    def hold(t):
+        return jax.vmap(
+            lambda col: jnp.interp(t, times, col), in_axes=-1, out_axes=-1
+        )(values)
+
+    return hold
+
+
+def discrete_derivative(size: int, period: float,
+                        suppress_initial_transient: bool = True):
+    """DiscreteDerivative (discrete_derivative.h): y = (u[k] - u[k-1]) / h.
+
+    State = (previous input, steps-seen counter folded into one extra slot
+    when the initial transient is suppressed — the reference's
+    suppress_initial_transient flag zeroes y for the first two periods).
+    Returns a DiscreteSystem whose output is the derivative estimate.
+    """
+    n_extra = 1 if suppress_initial_transient else 0
+
+    def g(params, x, u, t=0.0):
+        new = jnp.asarray(u)
+        if suppress_initial_transient:
+            count = x[size] + 1.0
+            return jnp.concatenate([new, jnp.array([count], x.dtype)])
+        return new
+
+    def output(params, x, u, t=0.0):
+        deriv = (jnp.asarray(u) - x[:size]) / period
+        if suppress_initial_transient:
+            return jnp.where(x[size] >= 2.0, deriv, jnp.zeros_like(deriv))
+        return deriv
+
+    return DiscreteSystem(
+        g=g, num_states=size + n_extra, num_inputs=size,
+        time_step=period, output=output,
+    )
+
+
+def state_interpolator_with_discrete_derivative(
+    size: int, period: float, suppress_initial_transient: bool = True
+):
+    """StateInterpolatorWithDiscreteDerivative (discrete_derivative.h:161):
+    position commands in -> [q; v] desired state out, v by backward
+    difference.  The standard glue between a position source and a
+    controller that wants full desired state."""
+    dd = discrete_derivative(size, period, suppress_initial_transient)
+
+    def output(params, x, u, t=0.0):
+        v = dd.output(params, x, u, t)
+        return jnp.concatenate([jnp.asarray(u), v])
+
+    return DiscreteSystem(
+        g=dd.g, num_states=dd.num_states, num_inputs=size,
+        time_step=period, output=output,
+    )
