@@ -13,7 +13,7 @@ library.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -263,3 +263,132 @@ def ellipsoid_from_sphere(center, radius: float) -> Hyperellipsoid:
     return Hyperellipsoid(
         C=jnp.eye(n, dtype=center.dtype) / radius, d=center
     )
+
+
+class Hyperrectangle(NamedTuple):
+    """Axis-aligned box {x : lb <= x <= ub} (hyperrectangle.h role).
+
+    The only ConvexSet with trivially exact uniform sampling and bounding
+    boxes — the reference uses it as the sampling domain for IRIS and
+    clique-cover seeding."""
+
+    lower: jnp.ndarray  # (n,)
+    upper: jnp.ndarray  # (n,)
+
+    def contains(self, x, tol: float = 0.0):
+        return jnp.logical_and(
+            jnp.all(x >= self.lower - tol), jnp.all(x <= self.upper + tol)
+        )
+
+    def center(self):
+        return 0.5 * (self.lower + self.upper)
+
+    def uniform_sample(self, key, num_samples: Optional[int] = None):
+        """Exact uniform draw(s) (UniformSample role)."""
+        shape = (
+            self.lower.shape
+            if num_samples is None
+            else (num_samples,) + self.lower.shape
+        )
+        u = jax.random.uniform(key, shape, self.lower.dtype)
+        return self.lower + u * (self.upper - self.lower)
+
+    def to_hpolyhedron(self) -> HPolyhedron:
+        n = self.lower.shape[0]
+        eye = jnp.eye(n, dtype=self.lower.dtype)
+        return HPolyhedron(
+            A=jnp.concatenate([eye, -eye]),
+            b=jnp.concatenate([self.upper, -self.lower]),
+        )
+
+    @staticmethod
+    def maybe_calc_axis_aligned_bounding_box(points) -> "Hyperrectangle":
+        """Tight AABB of a point set (MaybeCalcAxisAlignedBoundingBox role
+        for the sets whose bounding box is their vertex hull)."""
+        points = jnp.asarray(points)
+        return Hyperrectangle(
+            lower=jnp.min(points, axis=0), upper=jnp.max(points, axis=0)
+        )
+
+
+class AffineSubspace(NamedTuple):
+    """{translation + basis @ u : u in R^k} (affine_subspace.h role).
+
+    basis is (n, k) with independent columns; k = 0 is a point."""
+
+    basis: jnp.ndarray  # (n, k)
+    translation: jnp.ndarray  # (n,)
+
+    @property
+    def affine_dimension(self) -> int:
+        return self.basis.shape[1]
+
+    def project(self, x):
+        """Orthogonal projection of x onto the subspace (Projection role)."""
+        d = jnp.asarray(x) - self.translation
+        u, *_ = jnp.linalg.lstsq(self.basis, d)
+        return self.translation + self.basis @ u
+
+    def contains(self, x, tol: float = 1e-9):
+        return jnp.linalg.norm(jnp.asarray(x) - self.project(x)) <= tol
+
+    def to_local_coordinates(self, x):
+        """Least-squares coordinates of (the projection of) x."""
+        u, *_ = jnp.linalg.lstsq(self.basis, jnp.asarray(x) - self.translation)
+        return u
+
+    @staticmethod
+    def affine_hull(points, tol: float = 1e-9) -> "AffineSubspace":
+        """Affine hull of a point set via SVD (AffineHull role,
+        affine_subspace.h:AffineHull)."""
+        points = jnp.asarray(points)
+        c = jnp.mean(points, axis=0)
+        _, s, vt = jnp.linalg.svd(points - c, full_matrices=False)
+        rank = int(jnp.sum(s > tol * jnp.maximum(s[0], 1.0)))
+        return AffineSubspace(basis=vt[:rank].T, translation=c)
+
+
+class AffineBall(NamedTuple):
+    """{B u + center : ||u||_2 <= 1} (affine_ball.h role) — the image-map
+    dual of Hyperellipsoid (which is the preimage form x' A'A x <= 1);
+    handles degenerate (flat) ellipsoids the quadratic form cannot."""
+
+    B: jnp.ndarray  # (n, k)
+    center: jnp.ndarray  # (n,)
+
+    def contains(self, x, tol: float = 1e-9):
+        d = jnp.asarray(x) - self.center
+        u, resid, *_ = jnp.linalg.lstsq(self.B, d)
+        # Off-image component must vanish and the pullback must be in the
+        # unit ball.
+        off = jnp.linalg.norm(d - self.B @ u)
+        return jnp.logical_and(off <= tol, jnp.linalg.norm(u) <= 1.0 + tol)
+
+    def volume(self):
+        """Lebesgue volume in the ambient space (0 if flat): |det B| V_n."""
+        n, k = self.B.shape
+        if n != k:
+            return jnp.asarray(0.0, self.B.dtype)
+        from math import gamma, pi
+
+        unit = pi ** (n / 2) / gamma(n / 2 + 1)
+        return jnp.abs(jnp.linalg.det(self.B)) * unit
+
+    @staticmethod
+    def from_hyperellipsoid(e: Hyperellipsoid) -> "AffineBall":
+        """Hyperellipsoid {x : (x-d)'C'C(x-d) <= 1} -> image form B = C^-1."""
+        return AffineBall(B=jnp.linalg.inv(e.C), center=e.d)
+
+    @staticmethod
+    def make_unit_ball(dim: int, dtype=jnp.float64) -> "AffineBall":
+        return AffineBall(
+            B=jnp.eye(dim, dtype=dtype), center=jnp.zeros(dim, dtype)
+        )
+
+    @staticmethod
+    def make_axis_aligned(radii, center) -> "AffineBall":
+        radii = jnp.asarray(radii)
+        return AffineBall(B=jnp.diag(radii), center=jnp.asarray(center))
+
+
+__all__ += ["Hyperrectangle", "AffineSubspace", "AffineBall"]
