@@ -235,3 +235,109 @@ def solve_ik_constraints(
     opts = options or sqp.SqpOptions(max_iters=80, constraint_tol=1e-8)
     res = sqp.solve(cost, constraint, z0, z_lb, z_ub, opts)
     return res.z[:nq], res
+
+
+def point_to_line_distance_constraint(
+    body_b: int, p_BQ, body_a: int, p_AP, n_A, d_lower: float, d_upper: float
+) -> IkConstraint:
+    """Distance from point Q (frame B) to the line through P with direction
+    n (frame A) bounded in [d_lower, d_upper]
+    (point_to_line_distance_constraint.h).  Constrained on the SQUARED
+    distance for a smooth residual, as the reference does."""
+
+    def value(model, params, q):
+        p_WQ = _frame_point(model, params, q, body_b, p_BQ)
+        p_WP = _frame_point(model, params, q, body_a, p_AP)
+        n = jnp.asarray(n_A, q.dtype)
+        if body_a >= 0:
+            R_WA, _ = kin.forward_kinematics(model, params, q)
+            n = R_WA[body_a] @ n
+        n = n / jnp.linalg.norm(n)
+        d = p_WQ - p_WP
+        perp = d - jnp.dot(d, n) * n
+        return jnp.dot(perp, perp)[None]
+
+    return IkConstraint(
+        value,
+        jnp.asarray([d_lower**2], jnp.float64),
+        jnp.asarray([d_upper**2], jnp.float64),
+        "point_to_line_distance",
+    )
+
+
+def polyhedron_constraint(
+    body_f: int, p_FQ, body_p: int, A, b
+) -> IkConstraint:
+    """Points Q (frame F) satisfy A x_P <= b in frame P
+    (polyhedron_constraint.h); p_FQ is (m, 3), A is (k, 3), b (k,)."""
+    A = jnp.asarray(A, jnp.float64)
+    b = jnp.asarray(b, jnp.float64)
+    p_FQ = jnp.asarray(p_FQ)
+    m = p_FQ.shape[0]
+    k = A.shape[0]
+
+    def value(model, params, q):
+        R_WB, p_WB = kin.forward_kinematics(model, params, q)
+        rows = []
+        for i in range(m):
+            p_WQ = _frame_point(model, params, q, body_f, p_FQ[i])
+            if body_p < 0:
+                x_P = p_WQ
+            else:
+                x_P = R_WB[body_p].T @ (p_WQ - p_WB[body_p])
+            rows.append(A.astype(q.dtype) @ x_P)
+        return jnp.concatenate(rows)
+
+    lb = jnp.full((k * m,), -jnp.inf, jnp.float64)
+    ub = jnp.tile(b, m)
+    return IkConstraint(value, lb, ub, "polyhedron")
+
+
+def com_in_polyhedron_constraint(A, b) -> IkConstraint:
+    """Whole-robot COM (world/expressed frame) inside {x : A x <= b}
+    (com_in_polyhedron_constraint.h)."""
+    A = jnp.asarray(A, jnp.float64)
+    b = jnp.asarray(b, jnp.float64)
+
+    def value(model, params, q):
+        R_WB, p_WB = kin.forward_kinematics(model, params, q)
+        masses = params.mass
+        com_B = params.com
+        p_com = (
+            jnp.sum(
+                masses[:, None]
+                * (p_WB + jnp.einsum("bij,bj->bi", R_WB, com_B)),
+                axis=0,
+            )
+            / jnp.sum(masses)
+        )
+        return A.astype(q.dtype) @ p_com
+
+    return IkConstraint(
+        value, jnp.full((A.shape[0],), -jnp.inf, jnp.float64), b,
+        "com_in_polyhedron",
+    )
+
+
+def minimum_distance_lower_bound_constraint(
+    scene, bound: float, influence_margin: float = 0.1
+) -> IkConstraint:
+    """All collision-pair signed distances >= bound
+    (minimum_distance_lower_bound_constraint.h).  The reference penalizes
+    distances inside an influence region with a smooth hinge and requires
+    the aggregate to vanish; here the residual is the same smooth-min
+    aggregate: softmin over pair distances within the influence region,
+    constrained >= bound."""
+
+    def value(model, params, q):
+        contact = scene.query(model, params, q)
+        phi = contact.phi
+        # Smooth minimum (logsumexp) over the influence region; pairs far
+        # beyond the margin contribute exponentially little.
+        beta = 4.0 / max(influence_margin, 1e-6)
+        return (-jax.nn.logsumexp(-beta * phi) / beta)[None]
+
+    return IkConstraint(
+        value, jnp.asarray([bound], jnp.float64),
+        jnp.asarray([jnp.inf], jnp.float64), "minimum_distance_lower",
+    )
