@@ -112,6 +112,11 @@ def acrobot_spong_controller(
         a2, a3 = Minv[..., 0, 1], Minv[..., 1, 1]
         E = acrobot_model.total_energy(p, x)
         u_e = -k_e * (E - E_desired) * v[..., 1]
+        # INTENTIONAL deviation from spong_controller.h: the reference's PD
+        # term uses the raw state.theta2(); here theta2 is angle-WRAPPED so
+        # the PD never commands a full unwind after multi-revolution swings.
+        # The committed gains (Monte-Carlo tuned) assume this wrapped form —
+        # with raw theta2 the same gains fail the swing-up.
         y = -k_p * xw[..., 1] - k_d * v[..., 1]
         u_p = (a2 * bias[..., 0] + y) / a3 + bias[..., 1]
 

@@ -257,6 +257,12 @@ def point_to_line_distance_constraint(
         perp = d - jnp.dot(d, n) * n
         return jnp.dot(perp, perp)[None]
 
+    if d_lower < 0:
+        raise ValueError(
+            "point_to_line_distance_constraint: distance_lower must be "
+            ">= 0 (the reference requires this; a negative value would "
+            "silently become a positive squared bound)"
+        )
     return IkConstraint(
         value,
         jnp.asarray([d_lower**2], jnp.float64),

@@ -277,30 +277,37 @@ def first_order_hold(times, values):
 
 def discrete_derivative(size: int, period: float,
                         suppress_initial_transient: bool = True):
-    """DiscreteDerivative (discrete_derivative.h): y = (u[k] - u[k-1]) / h.
+    """DiscreteDerivative (discrete_derivative.h): y = (x0 - x1) / h.
 
-    State = (previous input, steps-seen counter folded into one extra slot
-    when the initial transient is suppressed — the reference's
-    suppress_initial_transient flag zeroes y for the first two periods).
-    Returns a DiscreteSystem whose output is the derivative estimate.
+    Reference timing: the output is computed from STORED STATE only
+    (x0 = u[n-1], x1 = u[n-2] after n updates), never from the live
+    input — no direct feedthrough, so the estimate lags the input by one
+    sample period exactly as the reference block does.  State =
+    (x0, x1, sample counter when the initial transient is suppressed —
+    the reference flag zeroes y until two samples are stored).
     """
     n_extra = 1 if suppress_initial_transient else 0
 
     def g(params, x, u, t=0.0):
-        new = jnp.asarray(u)
+        new0 = jnp.asarray(u)
+        new1 = x[:size]
         if suppress_initial_transient:
-            count = x[size] + 1.0
-            return jnp.concatenate([new, jnp.array([count], x.dtype)])
-        return new
+            count = x[2 * size] + 1.0
+            return jnp.concatenate(
+                [new0, new1, jnp.array([count], x.dtype)]
+            )
+        return jnp.concatenate([new0, new1])
 
     def output(params, x, u, t=0.0):
-        deriv = (jnp.asarray(u) - x[:size]) / period
+        deriv = (x[:size] - x[size : 2 * size]) / period
         if suppress_initial_transient:
-            return jnp.where(x[size] >= 2.0, deriv, jnp.zeros_like(deriv))
+            return jnp.where(
+                x[2 * size] >= 2.0, deriv, jnp.zeros_like(deriv)
+            )
         return deriv
 
     return DiscreteSystem(
-        g=g, num_states=size + n_extra, num_inputs=size,
+        g=g, num_states=2 * size + n_extra, num_inputs=size,
         time_step=period, output=output,
     )
 

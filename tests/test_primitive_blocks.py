@@ -60,15 +60,20 @@ class TestDiscreteDerivative:
         h = 0.1
         sys = prim.discrete_derivative(2, h)
         x = jnp.zeros(sys.num_states)
-        us = jnp.array([[0.0, 0.0], [0.1, -0.2], [0.3, -0.1]])
+        us = jnp.array(
+            [[0.0, 0.0], [0.1, -0.2], [0.3, -0.1], [0.3, -0.1]]
+        )
         outs = []
         for u in us:
             outs.append(np.asarray(sys.output(None, x, u)))
             x = sys.g(None, x, u)
-        # First two outputs suppressed, third is (u2 - u1)/h.
+        # Reference timing (discrete_derivative.h): NO direct feedthrough —
+        # y[k] = (u[k-1] - u[k-2])/h from stored state only, first two
+        # samples suppressed.
         np.testing.assert_allclose(outs[0], 0.0)
         np.testing.assert_allclose(outs[1], 0.0)
-        np.testing.assert_allclose(outs[2], [2.0, 1.0], rtol=1e-6)
+        np.testing.assert_allclose(outs[2], [1.0, -2.0], rtol=1e-6)
+        np.testing.assert_allclose(outs[3], [2.0, 1.0], rtol=1e-6)
 
     def test_state_interpolator_shapes_desired_state(self):
         h = 0.05
@@ -77,8 +82,11 @@ class TestDiscreteDerivative:
         )
         x = jnp.zeros(sys.num_states)
         u0 = jnp.array([0.1, 0.2, 0.3])
-        x = sys.g(None, x, u0)
         u1 = u0 + h * jnp.array([1.0, -1.0, 0.5])
+        # Reference timing: v comes from the two STORED samples, so both
+        # updates must have happened before the derivative appears.
+        x = sys.g(None, x, u0)
+        x = sys.g(None, x, u1)
         y = np.asarray(sys.output(None, x, u1))
         np.testing.assert_allclose(y[:3], np.asarray(u1))
         np.testing.assert_allclose(y[3:], [1.0, -1.0, 0.5], rtol=1e-6)
