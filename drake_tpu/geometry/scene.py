@@ -60,6 +60,10 @@ class CollisionGeometry:
     # rolling resistance and torsional friction that point contact cannot.
     hydroelastic_modulus: Optional[float] = None
     hydro_rings: int = 1  # quadrature rings (points = 1 + 6 + 12 + ...)
+    # Patch radius for GENERIC SDF carriers (Cylinder/Ellipsoid/MeshSdf):
+    # the tangent-disk extent of the SDF-projected quadrature patch.
+    # None -> 0.7 x the shape's foundation depth (the sphere-cap default).
+    hydro_patch_radius: Optional[float] = None
     friction: float = 1.0
     # Role bitmask (scene_graph.PROXIMITY | ILLUSTRATION | PERCEPTION) —
     # the geometry_roles.h assignment: only proximity-role geometries
@@ -306,8 +310,9 @@ def _contacts_per_pair(ga: CollisionGeometry, gb: CollisionGeometry) -> int:
             if b_sdf:
                 n += min(8, a.num_vertices)
             return n
-        # Vertex-vs-hull both ways, K deepest each direction.
-        return min(4, a.num_vertices) + min(4, b.num_vertices)
+        # Vertex-vs-hull both ways (K deepest each direction) + K
+        # edge-edge (SAT cross-axis) rows.
+        return min(4, a.num_vertices) + min(4, b.num_vertices) + 4
     if a_sdf or b_sdf:
         ms = a if a_sdf else b
         other = b if a_sdf else a
@@ -337,8 +342,16 @@ def _hydro_pair(ga, gb):
     (_hydro_modulus)."""
 
     def soft(g):
+        # Any SDF shape can CARRY the patch: Sphere/Box/Capsule take the
+        # shape-specialized quadratures; Cylinder/Ellipsoid/MeshSdf take
+        # the generic SDF-projected patch (reference role:
+        # geometry/proximity/field_intersection.h — tessellated pressure
+        # fields exist for every shape; here every SDF shape projects a
+        # quadrature patch instead).
         return g.hydroelastic_modulus is not None and isinstance(
-            g.shape, (sh.Sphere, sh.Box, sh.Capsule)
+            g.shape,
+            (sh.Sphere, sh.Box, sh.Capsule, sh.Cylinder, sh.Ellipsoid,
+             sh.MeshSdf),
         )
 
     def sdf_ok(g):
@@ -459,7 +472,8 @@ def _hydro_patch(g_soft, R_s, p_s, g_other, R_o, p_o, dtype):
                         x = p_s + R_s @ jnp.asarray(loc, dtype)
                         samples.append((x, A_cell / half[axis]))
 
-    else:  # Capsule: direction-aware band on the cylinder + end caps.
+    elif isinstance(s, sh.Capsule):
+        # Direction-aware band on the cylinder + end caps.
         r, L = s.radius, s.length
         _, n_dir = _other_sdf(g_other, R_o, p_o, p_s)
         axis_W = R_s[:, 2]
@@ -494,11 +508,79 @@ def _hydro_patch(g_soft, R_s, p_s, g_other, R_o, p_o, dtype):
                 )
                 samples.append((x, k_scale * w_clip))
 
+    else:
+        # GENERIC SDF carrier (Cylinder / Ellipsoid / MeshSdf): an
+        # SDF-projected tangent-disk quadrature.  Seed = the other body's
+        # origin projected onto the soft surface by Newton steps on the
+        # soft SDF (x <- x - phi grad phi); a polar grid on the tangent
+        # plane at the seed is then re-projected onto the surface the same
+        # way, with flat-disk band areas as weights.  This is what unlocks
+        # hydro patches on PARSED MESHES (reference:
+        # geometry/proximity/field_intersection.h computes tessellated
+        # pressure-field intersections for every shape; the quadrature
+        # patch is the TPU-static stand-in).
+        h_depth = _hydro_depth(g_soft)
+        rho = (
+            g_soft.hydro_patch_radius
+            if g_soft.hydro_patch_radius is not None
+            else 0.7 * h_depth
+        )
+
+        def soft_sdf(x):
+            return _other_sdf(g_soft, R_s, p_s, x)
+
+        def project(x, steps=3):
+            for _ in range(steps):
+                phi, nrm = soft_sdf(x)
+                x = x - phi[..., None] * nrm if phi.ndim else x - phi * nrm
+            return x
+
+        seed = project(p_o, steps=5)
+        _, m_n = soft_sdf(seed)
+        F = contact_frame(m_n)
+        t1, t2 = F[:, 0], F[:, 1]
+        denom = rings + 0.5
+        # Center sample: disk of radius rho*0.5/denom.
+        A0 = math.pi * (rho * 0.5 / denom) ** 2
+        samples.append((seed, A0 / h_depth))
+        for jr in range(1, rings + 1):
+            r_j = rho * jr / denom
+            r_lo = rho * (jr - 0.5) / denom
+            r_hi = rho * (jr + 0.5) / denom if jr < rings else rho
+            band = math.pi * (r_hi**2 - r_lo**2)
+            npts = 6 * jr
+            for mi in range(npts):
+                beta = 2 * math.pi * mi / npts
+                x0 = seed + r_j * (
+                    t1 * math.cos(beta) + t2 * math.sin(beta)
+                )
+                samples.append((project(x0), band / npts / h_depth))
+
     out = []
     for x, k_scale in samples:
         phi, n_W = _other_sdf(g_other, R_o, p_o, x)
         out.append((phi, x, n_W, k_scale))
     return out
+
+
+def _hydro_depth(g_soft) -> float:
+    """Foundation depth of a generic SDF carrier: the (approximate) max
+    interior distance — sphere radius analogue for the elastic-foundation
+    pressure p = E * phi / h_depth."""
+    s = g_soft.shape
+    if isinstance(s, sh.Sphere):
+        return float(s.radius)
+    if isinstance(s, sh.Cylinder):
+        return float(min(s.radius, s.length / 2.0))
+    if isinstance(s, sh.Ellipsoid):
+        return float(min(s.radii))
+    if isinstance(s, sh.MeshSdf):
+        return float(-np.min(np.asarray(s.grid)))
+    if isinstance(s, sh.Capsule):
+        return float(s.radius)
+    if isinstance(s, sh.Box):
+        return float(min(s.size) / 2.0)
+    raise ValueError(f"no hydro foundation depth for {type(s).__name__}")
 
 
 def _hydro_count(g_soft) -> int:
@@ -797,12 +879,16 @@ def _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype):
                         b, Rb, pb, va_W, min(8, a.num_vertices)
                     )
                 return out
-            # Mesh-mesh: vertex-vs-convex-hull manifold, both directions
-            # (geometry/mesh_contact.py; the FCL GJK/EPA role for convex
-            # meshes — non-convex meshes contact by their hulls).
+            # Mesh-mesh: vertex-vs-convex-hull manifold, both directions,
+            # PLUS the edge-edge (SAT cross-axis) class for crossed-edge
+            # configurations no vertex row can see (geometry/
+            # mesh_contact.py; the FCL GJK/EPA role for convex meshes —
+            # non-convex meshes contact by their hulls).
             from drake_tpu.geometry import mesh_contact as mc
 
-            return mc.mesh_mesh_contacts(a, Ra, pa, b, Rb, pb, dtype)
+            out = mc.mesh_mesh_contacts(a, Ra, pa, b, Rb, pb, dtype)
+            out += mc.edge_edge_contacts(a, Ra, pa, b, Rb, pb, dtype)
+            return out
 
         verts_W = (
             jnp.asarray(a.vertices, dtype) @ Ra.T + pa
