@@ -65,7 +65,12 @@ if os.environ.get("DRAKE_TPU_BENCH_CPU") == "1":
     jax.config.update("jax_platforms", "cpu")
 
 
-def main():
+def build_rollout(batch=1024, mpc_steps=30, on_cpu=False, dtype=None):
+    """Build the headline program: (rollout_jit, x0s, info).
+
+    Shared with benchmarks/roofline_report.py so the MFU accounting runs
+    the EXACT committed headline program.
+    """
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "examples"))
     from iiwa_push_mpc import build_world
 
@@ -77,8 +82,7 @@ def main():
     from drake_tpu.multibody import kinematics as kin
     from drake_tpu.trajopt import ilqr
 
-    on_cpu = os.environ.get("DRAKE_TPU_BENCH_CPU") == "1"
-    dtype = jnp.float32
+    dtype = dtype or jnp.float32
     model, params, scene, side = build_world(dtype)
     nq, nv = model.num_positions, model.num_velocities
     h = 0.04
@@ -133,11 +137,6 @@ def main():
         return 400.0 * jnp.sum((x[nq - 3 : nq - 1] - box_goal) ** 2)
 
     horizon = 12
-    batch = 1024 if not on_cpu else 4
-    # 30 MPC steps: the round-2 frontier winner (1,084.6 solves/s measured,
-    # median err 0.135 — same tracking as 20 steps at +9% throughput; the
-    # full schedule frontier is tabulated in BASELINE.md).
-    mpc_steps = 30 if not on_cpu else 3
     us0 = jnp.tile(tau_g[None], (horizon, 1))
     lim = jnp.asarray(iiwa.EFFORT_LIMITS, dtype)
 
@@ -169,6 +168,20 @@ def main():
     )
 
     rollout = jax.jit(jax.vmap(scenario))
+    info = {"nq": nq, "box_goal": box_goal, "horizon": horizon}
+    return rollout, x0s, info
+
+
+def main():
+    on_cpu = os.environ.get("DRAKE_TPU_BENCH_CPU") == "1"
+    # 30 MPC steps: the round-2 frontier winner (1,084.6 solves/s measured,
+    # median err 0.135 — same tracking as 20 steps at +9% throughput; the
+    # full schedule frontier is tabulated in BASELINE.md).
+    batch = 1024 if not on_cpu else 4
+    mpc_steps = 30 if not on_cpu else 3
+    rollout, x0s, info = build_rollout(batch, mpc_steps, on_cpu)
+    nq, box_goal, horizon = info["nq"], info["box_goal"], info["horizon"]
+
     res = rollout(x0s)
     float(res.xs.sum())  # host readback (block_until_ready is a no-op on the
     # tunneled backend)

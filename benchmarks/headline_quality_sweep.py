@@ -42,6 +42,19 @@ parser.add_argument(
     help="sim-side overspeed hold reflex: when the sim box planar speed "
     "exceeds this [m/s], the applied torque blends to gravity hold "
     "(freeze the arm, stop feeding the smash).  0 = off")
+parser.add_argument(
+    "--guard", choices=["off", "speed", "overshoot"], default="off",
+    help="EVENT-TRIGGERED plan guard (round-5, VERDICT item 4): reacts to "
+    "the solver's own predicted rollout.  speed: damp plans whose "
+    "rollout exceeds --guard-cap planar box speed; overshoot: damp "
+    "plans whose rollout carries the box PAST the goal by more than "
+    "--guard-overshoot along the push direction")
+parser.add_argument("--guard-cap", type=float, default=0.35)
+parser.add_argument("--guard-overshoot", type=float, default=0.05)
+parser.add_argument(
+    "--guard-gamma", type=float, default=0.5,
+    help="torque-deviation scale applied to triggered plans (about "
+    "gravity compensation)")
 args = parser.parse_args()
 
 import jax
@@ -137,6 +150,36 @@ def main():
             u_eff = jnp.where(sp2 > hold_cap2, tau_hold, u)
             return dsys.g(p, x, u_eff, *rest)
 
+    plan_guard = None
+    if args.guard == "speed":
+        gcap2 = args.guard_cap**2
+
+        def plan_guard(xs_plan, us_plan):
+            # Predicted max planar box speed over the plan's OWN rollout:
+            # only plans that would launch the box get damped.
+            sp2 = jnp.max(
+                jnp.sum(xs_plan[:, nq + 10 : nq + 12] ** 2, axis=-1)
+            )
+            scale = jnp.where(sp2 > gcap2, args.guard_gamma, 1.0)
+            return tau_g[None] + scale * (us_plan - tau_g[None])
+
+    elif args.guard == "overshoot":
+
+        def plan_guard(xs_plan, us_plan):
+            # Predicted overshoot: the plan's rollout carries the box PAST
+            # the goal along the current push direction.
+            b0 = xs_plan[0, nq - 3 : nq - 1]
+            d0 = box_goal - b0
+            dir0 = d0 / (jnp.linalg.norm(d0) + 1e-6)
+            along = jnp.einsum(
+                "ti,i->t", xs_plan[:, nq - 3 : nq - 1] - box_goal, dir0
+            )
+            over = jnp.max(along)
+            scale = jnp.where(
+                over > args.guard_overshoot, args.guard_gamma, 1.0
+            )
+            return tau_g[None] + scale * (us_plan - tau_g[None])
+
     def scenario(x):
         return mpc.ilqr_mpc_rollout(
             dsys_plan.g, running_cost, final_cost, params, x, us0, mpc_steps,
@@ -146,6 +189,7 @@ def main():
             first_options=first_options,
             refresh_every=args.refresh,
             x_bound=50.0,
+            plan_guard=plan_guard,
         )
 
     key = jax.random.PRNGKey(0)
@@ -178,7 +222,10 @@ def main():
         f"fixed cap={args.cap}" if args.mode == "fixed"
         else f"brake k={args.k} floor={args.floor}"
     ) + (f" refresh={args.refresh}" if args.refresh else "") + (
-        f" hold={args.hold}" if args.hold else "")
+        f" hold={args.hold}" if args.hold else "") + (
+        f" guard={args.guard}(cap={args.guard_cap},"
+        f"os={args.guard_overshoot},g={args.guard_gamma})"
+        if args.guard != "off" else "")
     print(
         f"[{cfg} whinge={args.whinge} wvel={args.wvel}] "
         f"progressing {n_progress}/{batch}  median err {med_err:.3f}  "

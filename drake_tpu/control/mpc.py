@@ -139,6 +139,7 @@ def ilqr_mpc_rollout(
     refresh_every: int = 0,
     x_bound: float = float("inf"),
     u_rate_limit: Optional[float] = None,
+    plan_guard: Optional[Callable] = None,
 ) -> MpcRolloutResult:
     """Closed-loop MPC: at every sim step re-solve the horizon (warm-started
     by shifting the previous plan) and apply the first input.
@@ -164,6 +165,14 @@ def ilqr_mpc_rollout(
     is rejected and the lane holds its previous state.  Pick a bound well
     outside the task's reachable set (e.g. 1e3 for a meter-scale
     manipulation scene).
+
+    ``plan_guard``: optional EVENT-TRIGGERED plan filter
+    ``(xs_plan, us_plan) -> us_plan'`` applied after every solve.  The
+    guard sees the solver's own predicted rollout, so it can react to
+    predicted outcomes (e.g. damp a plan whose rollout launches the
+    manipulated object past the goal) BEFORE the plan touches the plant —
+    per-lane, fully vectorized, no lax.cond, so under vmap only the lanes
+    that trigger are modified and the untriggered lanes pay nothing.
     """
     if sim_dynamics is None:
         sim_dynamics = dynamics
@@ -181,6 +190,8 @@ def ilqr_mpc_rollout(
             u_upper=u_upper,
             options=opts,
         )
+        if plan_guard is not None:
+            res = res._replace(us=plan_guard(res.xs, res.us))
         # Solve-divergence guard: a lane whose SOLVE blew up (f32 NaN plan)
         # must not poison its own future — apply the previous warm start's
         # first input instead and keep the old plan, so the NEXT re-solve

@@ -243,6 +243,14 @@ def _parse_geometry_shape(geom_el, mesh_dir, mesh_mode, mesh_resolution):
                 _MESH_CACHE[key] = sh.MeshSdf.from_mesh(
                     verts, faces, resolution=mesh_resolution
                 )
+            elif mesh_mode == "triangles" and faces.shape[0] > 0:
+                # Full-resolution renderable mesh: the camera ray-casts
+                # these REAL triangles (sensors/camera.py) — no SDF bake,
+                # the render_vtk/render_gl ingestion role.  Contact still
+                # samples the vertices (decimate for contact-heavy use).
+                _MESH_CACHE[key] = sh.Mesh(
+                    vertices=verts, faces=faces.astype(np.int32)
+                )
             else:
                 _MESH_CACHE[key] = sh.Mesh(
                     vertices=decimate_vertices(verts, 64)

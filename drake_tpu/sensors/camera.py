@@ -115,6 +115,13 @@ def scene_sdf(geoms: Sequence, R_WB, p_WB, p):
     return jnp.min(phis), jnp.argmin(phis)
 
 
+def _is_triangle_geom(g) -> bool:
+    """True if this geometry renders as REAL triangles (a Mesh carrying
+    ``faces``) instead of through an SDF — the render_vtk/render_gl
+    triangle-mesh role: parsed robot meshes render without SDF baking."""
+    return isinstance(g.shape, sh.Mesh) and g.shape.faces is not None
+
+
 def render(
     geoms: Sequence,
     camera: CameraInfo,
@@ -132,6 +139,13 @@ def render(
     otherwise only world-anchored geoms render.  Only PERCEPTION-role
     geometries render (geometry_roles.h: render engines consume the
     perception role).
+
+    Geometry paths: analytic/SDF shapes sphere-trace; Mesh shapes with
+    ``faces`` ray-cast their real triangles (per-pixel Moller-Trumbore,
+    batched over faces — the reference's render_vtk/render_gl rasterizer
+    role, done the TPU way: one dense einsum-friendly intersection batch
+    per pixel instead of a BVH).  The nearer of the two hits wins, so
+    mixed scenes compose.
     """
     geoms = [g for g in geoms
              if scene_graph.has_role(g, scene_graph.PERCEPTION)]
@@ -146,7 +160,40 @@ def render(
         R_WB = jnp.tile(jnp.eye(3, dtype=dtype), (nb, 1, 1))
         p_WB = jnp.zeros((nb, 3), dtype)
 
-    sdf = lambda p: scene_sdf(geoms, R_WB, p_WB, p)
+    sdf_ids = [i for i, g in enumerate(geoms) if not _is_triangle_geom(g)]
+    tri_ids = [i for i, g in enumerate(geoms) if _is_triangle_geom(g)]
+    sdf_geoms = [geoms[i] for i in sdf_ids]
+    sdf_label = jnp.asarray(sdf_ids + [0], jnp.int32)  # +pad for empty
+
+    def geom_pose(g):
+        if g.body < 0:
+            return (jnp.asarray(g.R_BG, dtype), jnp.asarray(g.p_BG, dtype))
+        R = R_WB[g.body] @ jnp.asarray(g.R_BG, dtype)
+        p = p_WB[g.body] + R_WB[g.body] @ jnp.asarray(g.p_BG, dtype)
+        return R, p
+
+    # World-space triangle soup over all triangle geoms: v0/e1/e2 (Ft, 3)
+    # plus each face's geometry label.
+    tri_v0 = tri_e1 = tri_e2 = tri_lab = None
+    if tri_ids:
+        v0s, e1s, e2s, labs = [], [], [], []
+        for i in tri_ids:
+            g = geoms[i]
+            R_WG, p_WG = geom_pose(g)
+            verts = jnp.asarray(np.asarray(g.shape.vertices), dtype)
+            verts = verts @ R_WG.T + p_WG
+            f = jnp.asarray(np.asarray(g.shape.faces), jnp.int32)
+            a, b, c = verts[f[:, 0]], verts[f[:, 1]], verts[f[:, 2]]
+            v0s.append(a)
+            e1s.append(b - a)
+            e2s.append(c - a)
+            labs.append(jnp.full((f.shape[0],), i, jnp.int32))
+        tri_v0 = jnp.concatenate(v0s)
+        tri_e1 = jnp.concatenate(e1s)
+        tri_e2 = jnp.concatenate(e2s)
+        tri_lab = jnp.concatenate(labs)
+
+    sdf = lambda p: scene_sdf(sdf_geoms, R_WB, p_WB, p)
     phi_only = lambda p: sdf(p)[0]
 
     # Surface normals by TETRAHEDRAL finite differences, not jax.grad:
@@ -178,21 +225,66 @@ def render(
     lightv = lightv / jnp.linalg.norm(lightv)
 
     def trace(direction):
-        def step(t, _):
-            p = p_WC + t * direction
-            phi, _ = sdf(p)
-            # Sphere tracing: advance by the SDF (clamped for safety).
-            t_new = t + jnp.clip(phi, 1e-4, 1.0)
-            return jnp.minimum(t_new, max_depth), None
+        # --- SDF path: sphere tracing --------------------------------------
+        if sdf_geoms:
+            def step(t, _):
+                p = p_WC + t * direction
+                phi, _ = sdf(p)
+                # Sphere tracing: advance by the SDF (clamped for safety).
+                t_new = t + jnp.clip(phi, 1e-4, 1.0)
+                return jnp.minimum(t_new, max_depth), None
 
-        t, _ = jax.lax.scan(
-            step, jnp.asarray(1e-3, dtype), None, length=num_steps
-        )
-        p_hit = p_WC + t * direction
-        phi, label = sdf(p_hit)
-        hit = phi < 1e-2
-        n = grad_phi(p_hit)
-        n = n / jnp.maximum(jnp.linalg.norm(n), 1e-9)
+            t_s, _ = jax.lax.scan(
+                step, jnp.asarray(1e-3, dtype), None, length=num_steps
+            )
+            p_hit = p_WC + t_s * direction
+            phi, label_s = sdf(p_hit)
+            hit_s = phi < 1e-2
+            n_s = grad_phi(p_hit)
+            n_s = n_s / jnp.maximum(jnp.linalg.norm(n_s), 1e-9)
+            label_s = sdf_label[label_s]
+        else:
+            t_s = jnp.asarray(max_depth, dtype)
+            hit_s = jnp.asarray(False)
+            n_s = jnp.zeros(3, dtype)
+            label_s = jnp.asarray(0, jnp.int32)
+
+        # --- triangle path: Moller-Trumbore over the face soup -------------
+        if tri_ids:
+            pvec = jnp.cross(direction[None, :], tri_e2)
+            det = jnp.sum(tri_e1 * pvec, axis=-1)
+            ok = jnp.abs(det) > 1e-12
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            tvec = p_WC[None, :] - tri_v0
+            u = jnp.sum(tvec * pvec, axis=-1) * inv
+            qvec = jnp.cross(tvec, tri_e1)
+            v = jnp.sum(direction[None, :] * qvec, axis=-1) * inv
+            t_f = jnp.sum(tri_e2 * qvec, axis=-1) * inv
+            valid = (
+                ok & (u >= 0) & (v >= 0) & (u + v <= 1)
+                & (t_f > 1e-3) & (t_f < max_depth)
+            )
+            t_f = jnp.where(valid, t_f, jnp.inf)
+            fi = jnp.argmin(t_f)
+            t_t = t_f[fi]
+            hit_t = jnp.isfinite(t_t)
+            n_face = jnp.cross(tri_e1[fi], tri_e2[fi])
+            n_face = n_face / jnp.maximum(jnp.linalg.norm(n_face), 1e-12)
+            # Face normal toward the viewer (meshes need not be oriented).
+            n_t = -jnp.sign(jnp.dot(n_face, direction)) * n_face
+            label_t = tri_lab[fi]
+        else:
+            t_t = jnp.asarray(jnp.inf, dtype)
+            hit_t = jnp.asarray(False)
+            n_t = jnp.zeros(3, dtype)
+            label_t = jnp.asarray(0, jnp.int32)
+
+        # Nearer of the two hits wins.
+        use_tri = hit_t & (~hit_s | (t_t < t_s))
+        hit = hit_s | hit_t
+        t = jnp.where(use_tri, t_t, t_s)
+        n = jnp.where(use_tri, n_t, n_s)
+        label = jnp.where(use_tri, label_t, label_s)
         depth_z = t * (direction @ R_WC[:, 2])  # metric depth along +z_C
         shade = jnp.clip(n @ lightv, 0.0, 1.0) * 0.85 + 0.15
         return (
@@ -275,7 +367,13 @@ def render_rgb(
         nb = max([g.body for g in geoms] + [0]) + 1
         R_WB = jnp.tile(jnp.eye(3, dtype=dtype), (nb, 1, 1))
         p_WB = jnp.zeros((nb, 3), dtype)
-    sdf = lambda p: scene_sdf(geoms, R_WB, p_WB, p)[0]
+    # Shadow rays march the SDF scene only (triangle geoms don't occlude —
+    # flat-shaded mesh pixels still receive shadows FROM the SDF shapes).
+    sdf_only = [g for g in geoms if not _is_triangle_geom(g)]
+    if sdf_only:
+        sdf = lambda p: scene_sdf(sdf_only, R_WB, p_WB, p)[0]
+    else:
+        sdf = lambda p: jnp.asarray(jnp.inf, dtype)
 
     # Reconstruct hit points from the depth image (depth is along +z_C).
     R_WC_j = jnp.asarray(R_WC)

@@ -110,3 +110,110 @@ class TestNormalsFinite:
         hit = np.asarray(res.label) >= 0
         norms = np.linalg.norm(np.asarray(res.normal)[hit], axis=-1)
         np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+class TestTriangleRaycast:
+    """Real-triangle rendering (VERDICT round-4 item 8): Mesh shapes with
+    ``faces`` ray-cast per-pixel Moller-Trumbore — parsed meshes render
+    WITHOUT SDF baking (the render_vtk triangle ingestion role)."""
+
+    def _tri_box(self, size=(0.4, 0.4, 0.4)):
+        from drake_tpu.geometry.mesh_io import box_mesh
+
+        v, f = box_mesh(size)
+        return sh.Mesh(vertices=np.asarray(v),
+                       faces=np.asarray(f, np.int32))
+
+    def test_depth_is_exact(self):
+        geoms = [
+            CollisionGeometry(name="box", body=-1, shape=self._tri_box()),
+        ]
+        cam = camera.CameraInfo(width=32, height=32, fov_y=0.8)
+        X = camera.look_at((0.0, 0.0, 2.0), (0.0, 0.0, 0.0),
+                           up=(1.0, 0.0, 0.0))
+        res = camera.render(geoms, cam, X)
+        # Center pixel: straight down onto the top face at z=0.2 ->
+        # depth 1.8, EXACT (triangles have no sphere-trace tolerance).
+        d = float(res.depth[16, 16])
+        np.testing.assert_allclose(d, 1.8, atol=1e-5)
+        assert int(res.label[16, 16]) == 0
+        # Flat top-face normal points up, toward the camera.
+        np.testing.assert_allclose(
+            np.asarray(res.normal[16, 16]), [0, 0, 1], atol=1e-5
+        )
+        # Background pixels miss.
+        assert not np.isfinite(np.asarray(res.depth)[0, 0])
+
+    def test_mixed_scene_composes_by_depth(self):
+        geoms = [
+            CollisionGeometry(name="box", body=-1, shape=self._tri_box()),
+            CollisionGeometry(
+                name="ball", body=-1, shape=sh.Sphere(0.1),
+                p_BG=(0.0, 0.0, 0.8),
+            ),
+        ]
+        cam = camera.CameraInfo(width=32, height=32, fov_y=0.8)
+        X = camera.look_at((0.0, 0.0, 2.0), (0.0, 0.0, 0.0),
+                           up=(1.0, 0.0, 0.0))
+        res = camera.render(geoms, cam, X)
+        # The SDF sphere occludes the mesh at the center...
+        assert int(res.label[16, 16]) == 1
+        np.testing.assert_allclose(float(res.depth[16, 16]), 1.1, atol=2e-2)
+        # ...and the mesh box is still visible off-center.
+        lbl = np.asarray(res.label)
+        assert (lbl == 0).sum() > 20
+
+    def test_parsed_mesh_renders_rgb_without_sdf(self, tmp_path):
+        """URDF-parsed robot mesh (mesh_mode='triangles') -> RGB image:
+        the VERDICT 'Done' bar."""
+        from drake_tpu.geometry.mesh_io import box_mesh
+        from drake_tpu.multibody import parsing
+
+        v, f = box_mesh((0.3, 0.2, 0.5))
+        obj = ["# link mesh"]
+        for p in np.asarray(v):
+            obj.append(f"v {p[0]} {p[1]} {p[2]}")
+        for tri in np.asarray(f):
+            obj.append(f"f {tri[0]+1} {tri[1]+1} {tri[2]+1}")
+        (tmp_path / "link.obj").write_text("\n".join(obj))
+        urdf = """
+        <robot name="one_link">
+          <link name="base">
+            <inertial><mass value="1.0"/>
+              <inertia ixx="0.01" iyy="0.01" izz="0.01"
+                       ixy="0" ixz="0" iyz="0"/></inertial>
+            <visual>
+              <origin xyz="0 0 0.25"/>
+              <geometry><mesh filename="link.obj"/></geometry>
+            </visual>
+            <collision>
+              <origin xyz="0 0 0.25"/>
+              <geometry><mesh filename="link.obj"/></geometry>
+            </collision>
+          </link>
+        </robot>
+        """
+        model, params = parsing.parse_urdf(urdf, dtype=jnp.float64)
+        geoms = parsing.parse_urdf_geometry(
+            urdf, model, mesh_dir=str(tmp_path), mesh_mode="triangles"
+        )
+        mesh_geoms = [g for g in geoms if isinstance(g.shape, sh.Mesh)]
+        assert mesh_geoms and mesh_geoms[0].shape.faces is not None
+        assert not isinstance(mesh_geoms[0].shape, sh.MeshSdf)  # no bake
+        cam = camera.CameraInfo(width=32, height=32, fov_y=0.8)
+        X = camera.look_at((1.5, 0.0, 0.3), (0.0, 0.0, 0.25))
+        q = jnp.zeros(model.num_positions, jnp.float64)
+        rgb, res = camera.render_rgb(
+            geoms, cam, X, [camera.Material(diffuse=(0.2, 0.4, 0.9))]
+            * len(geoms), model=model, params=params, q=q,
+        )
+        lbl = np.asarray(res.label)
+        hits = lbl >= 0
+        assert hits.sum() > 30, hits.sum()
+        rgbn = np.asarray(rgb)
+        assert (rgbn[hits][:, 2] > rgbn[hits][:, 0]).mean() > 0.9
+        # Center pixel depth: front face (x = +0.15) from the camera at
+        # x = 1.5 -> ~1.35 m, exact triangle intersection.
+        np.testing.assert_allclose(
+            float(res.depth[16, 16]), 1.35, atol=2e-2
+        )
