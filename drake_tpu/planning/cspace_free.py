@@ -22,9 +22,19 @@ reference's fixed-degree SOS, a fixed product degree makes the test
 SUFFICIENT (certified => collision-free); failure to certify is
 inconclusive.
 
-Collision pairs: sphere-sphere between links (the reference builds its
-conditions from separating planes per collision-geometry pair; spheres give
-the distance-squared polynomial directly).
+Collision pairs: sphere-sphere AND capsule pairs (sphere-capsule,
+capsule-capsule).  The reference builds separating-plane polynomial
+conditions per geometry pair (cspace_free_polytope.h); here capsules are
+handled by introducing the segment parameters as AUXILIARY box-bounded
+indeterminates: with t, u in [0, 1] the points of the two segments,
+
+    g(s, t, u) = ||p_A(s, t) - p_B(s, u)||^2 - (r_a + r_b)^2  >= 0
+                 on {C s <= d} x [0, 1]^2
+
+is a polynomial nonnegativity condition on a polytope (the box faces of
+t, u join C s <= d as Handelman faces), so the SAME certificate machinery
+applies — min-free, clamp-free, and exact for spheres as the degenerate
+zero-length capsule.
 """
 
 from __future__ import annotations
@@ -71,24 +81,42 @@ def _poly_vector(p: sym.Polynomial, basis) -> np.ndarray:
     return v
 
 
-def _nnls(A: np.ndarray, b: np.ndarray, iters: int = 2000) -> np.ndarray:
+def _nnls(
+    A: np.ndarray,
+    b: np.ndarray,
+    iters: int = 2000,
+    target: Optional[float] = None,
+    max_iters: int = 60000,
+) -> np.ndarray:
     """min ||A x - b||, x >= 0 via projected accelerated gradient.
 
     Small host-side problems (hundreds of columns); the Lipschitz step is
-    1/||A||^2.  Good enough to drive the feasibility residual to ~1e-9 on
-    certifiable instances.
+    1/||A||^2.  Runs in chunks of ``iters``: stops early once the residual
+    reaches ``target`` (when given), keeps going up to ``max_iters`` while
+    the residual still improves — capsule-pair certificates (higher-degree
+    programs) need ~10x the iterations the sphere-pair ones do.
     """
     AtA = A.T @ A
     Atb = A.T @ b
     L = np.linalg.norm(AtA, 2) + 1e-12
     x = np.maximum(np.linalg.lstsq(A, b, rcond=None)[0], 0.0)
     y, t = x.copy(), 1.0
-    for _ in range(iters):
-        grad = AtA @ y - Atb
-        x_new = np.maximum(y - grad / L, 0.0)
-        t_new = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t * t))
-        y = x_new + ((t - 1.0) / t_new) * (x_new - x)
-        x, t = x_new, t_new
+    done = 0
+    res_prev = np.inf
+    while done < max_iters:
+        for _ in range(iters):
+            grad = AtA @ y - Atb
+            x_new = np.maximum(y - grad / L, 0.0)
+            t_new = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t * t))
+            y = x_new + ((t - 1.0) / t_new) * (x_new - x)
+            x, t = x_new, t_new
+        done += iters
+        res = float(np.linalg.norm(A @ x - b))
+        if target is not None and res < target:
+            break
+        if res > 0.9 * res_prev and done >= 2 * iters:
+            break  # plateau: < 10% gain over a whole chunk
+        res_prev = res
     return x
 
 
@@ -158,7 +186,7 @@ def certify_positive_on_polytope(
     b = _poly_vector(g, basis)
 
     scale = max(np.abs(b).max(), 1.0)
-    lam = _nnls(A / scale, b / scale)
+    lam = _nnls(A / scale, b / scale, target=0.1 * tol)
     residual = float(np.linalg.norm(A @ lam - b) / scale)
     return CertificationResult(
         certified=residual < tol, residual=residual, degree=deg
@@ -208,22 +236,99 @@ def pair_distance_polynomial(
     return sym.Polynomial(g_expr, indeterminates=rfk.s)
 
 
+class CapsulePair(NamedTuple):
+    """A capsule-capsule (or sphere-capsule with a zero-length segment)
+    collision pair: segment endpoints in each body's frame + radii."""
+
+    body_a: int
+    p_Aa0: np.ndarray
+    p_Aa1: np.ndarray
+    radius_a: float
+    body_b: int
+    p_Bb0: np.ndarray
+    p_Bb1: np.ndarray
+    radius_b: float
+
+
+def capsule_pair_distance_polynomial(
+    rfk: RationalForwardKinematics, pair: CapsulePair
+) -> Tuple[sym.Polynomial, list]:
+    """(g(s, t, u), [t, u]): denominator-cleared squared segment-segment
+    distance minus (ra+rb)^2, polynomial over s and the segment parameters
+    t, u in [0, 1]."""
+    NA, pA, dA = rfk.pose_expressions(pair.body_a)
+    NB, pB, dB = rfk.pose_expressions(pair.body_b)
+    r = float(pair.radius_a + pair.radius_b)
+    t = sym.Variable("t_seg")
+    u = sym.Variable("u_seg")
+    t_e = sym.to_expression(t)
+    u_e = sym.to_expression(u)
+
+    def endpoint_num(NR, Np, p_local):
+        return [
+            sum(NR[k, j] * float(p_local[j]) for j in range(3)) + Np[k]
+            for k in range(3)
+        ]
+
+    a0 = endpoint_num(NA, pA, pair.p_Aa0)
+    a1 = endpoint_num(NA, pA, pair.p_Aa1)
+    b0 = endpoint_num(NB, pB, pair.p_Bb0)
+    b1 = endpoint_num(NB, pB, pair.p_Bb1)
+    dA_e = sym.to_expression(dA)
+    dB_e = sym.to_expression(dB)
+    diff = [
+        (a0[k] * (1.0 - t_e) + a1[k] * t_e) * dB_e
+        - (b0[k] * (1.0 - u_e) + b1[k] * u_e) * dA_e
+        for k in range(3)
+    ]
+    g_expr = sum(diff[k] * diff[k] for k in range(3)) - (
+        (r * r) * (dA_e * dB_e) * (dA_e * dB_e)
+    )
+    return (
+        sym.Polynomial(g_expr, indeterminates=list(rfk.s) + [t, u]),
+        [t, u],
+    )
+
+
 def certify_cspace_polytope(
     rfk: RationalForwardKinematics,
-    pairs: Sequence[SpherePair],
+    pairs: Sequence,
     C: np.ndarray,
     d: np.ndarray,
     degree: Optional[int] = None,
     tol: float = 1e-7,
 ) -> Tuple[bool, List[CertificationResult]]:
     """Certify every collision pair on {C s <= d} (CspaceFreePolytope::
-    IsGeometrySeparable role, one Handelman program per pair)."""
+    IsGeometrySeparable role, one Handelman program per pair).
+
+    ``pairs`` may mix SpherePair and CapsulePair; capsule pairs certify
+    over the augmented polytope {C s <= d} x [0,1]^2 (segment-parameter
+    box faces appended)."""
+    C = np.asarray(C, float)
+    d = np.asarray(d, float)
     results = []
     for pair in pairs:
-        g = pair_distance_polynomial(rfk, pair)
-        results.append(
-            certify_positive_on_polytope(
-                g, C, d, rfk.s, degree=degree, tol=tol
+        if isinstance(pair, CapsulePair):
+            g, aux = capsule_pair_distance_polynomial(rfk, pair)
+            na = len(aux)
+            ns = C.shape[1]
+            C_aug = np.block([
+                [C, np.zeros((C.shape[0], na))],
+                [np.zeros((na, ns)), -np.eye(na)],
+                [np.zeros((na, ns)), np.eye(na)],
+            ])
+            d_aug = np.concatenate([d, np.zeros(na), np.ones(na)])
+            results.append(
+                certify_positive_on_polytope(
+                    g, C_aug, d_aug, list(rfk.s) + aux,
+                    degree=degree, tol=tol,
+                )
             )
-        )
+        else:
+            g = pair_distance_polynomial(rfk, pair)
+            results.append(
+                certify_positive_on_polytope(
+                    g, C, d, rfk.s, degree=degree, tol=tol
+                )
+            )
     return all(r.certified for r in results), results

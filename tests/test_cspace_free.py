@@ -132,3 +132,98 @@ class TestCspaceFreeTwoLink:
         ok2, _ = certify_cspace_polytope(
             rfk, [pair], C=C, d=np.array([1.5, 0.15, 1.5, 0.15]))
         assert not ok2
+
+
+class TestCapsulePairs:
+    """C-IRIS beyond sphere-sphere (VERDICT round-4 item 9): capsule
+    link geometry certified by adding the segment parameters t, u in
+    [0, 1] as box-bounded Handelman indeterminates."""
+
+    def _capsule_pair(self, model, p_obs0, p_obs1, r_obs=0.10):
+        from drake_tpu.planning.cspace_free import CapsulePair
+
+        # The pendulum LINK carries a capsule along its length (the real
+        # link collision geometry an iiwa would have)...
+        return CapsulePair(
+            body_a=model.body_index("link"),
+            p_Aa0=np.array([0.0, 0.0, -0.3]),
+            p_Aa1=np.array([0.0, 0.0, -1.0]),
+            radius_a=0.05,
+            body_b=model.body_index("obstacle"),
+            p_Bb0=np.asarray(p_obs0, float),
+            p_Bb1=np.asarray(p_obs1, float),
+            radius_b=r_obs,
+        )
+
+    def test_distance_polynomial_signs(self):
+        from drake_tpu.planning.cspace_free import (
+            capsule_pair_distance_polynomial,
+        )
+
+        model, rfk = _pendulum_rfk()
+        # Vertical world capsule near the swing circle at q ~ 0.8.
+        qc = 0.8
+        p0 = np.array([-np.sin(qc), 0.0, -np.cos(qc) - 0.3])
+        p1 = np.array([-np.sin(qc), 0.0, -np.cos(qc) + 0.3])
+        g, (t, u) = capsule_pair_distance_polynomial(
+            rfk, self._capsule_pair(model, p0, p1)
+        )
+        # Home config, obstacle mid-point: positive (separated).
+        assert g.Evaluate({rfk.s[0]: 0.0, t: 1.0, u: 0.5}) > 0
+        # Contact config: the link TIP (t=1) meets the obstacle MIDDLE
+        # (u=0.5) -> penetration, negative.
+        s_c = float(np.tan(qc / 2))
+        assert g.Evaluate({rfk.s[0]: s_c, t: 1.0, u: 0.5}) < 0
+
+    def test_certifies_safe_polytope_capsule_capsule(self):
+        model, rfk = _pendulum_rfk()
+        qc = 0.8
+        p0 = np.array([-np.sin(qc), 0.0, -np.cos(qc) - 0.3])
+        p1 = np.array([-np.sin(qc), 0.0, -np.cos(qc) + 0.3])
+        pair = self._capsule_pair(model, p0, p1)
+        ok, results = certify_cspace_polytope(
+            rfk, [pair],
+            C=np.array([[1.0], [-1.0]]), d=np.array([0.15, 0.15]),
+        )
+        assert ok, results
+
+    def test_refuses_colliding_polytope(self):
+        model, rfk = _pendulum_rfk()
+        qc = 0.8
+        p0 = np.array([-np.sin(qc), 0.0, -np.cos(qc) - 0.3])
+        p1 = np.array([-np.sin(qc), 0.0, -np.cos(qc) + 0.3])
+        pair = self._capsule_pair(model, p0, p1)
+        # Polytope reaching the contact configuration s = tan(0.4) = 0.42.
+        ok, _ = certify_cspace_polytope(
+            rfk, [pair],
+            C=np.array([[1.0], [-1.0]]), d=np.array([0.5, 0.15]),
+        )
+        assert not ok
+
+    def test_sphere_capsule_mixed_list(self):
+        model, rfk = _pendulum_rfk()
+        qc = 0.8
+        sph = SpherePair(
+            body_a=model.body_index("link"),
+            p_Aa=np.array([0.0, 0.0, -1.0]), radius_a=0.05,
+            body_b=model.body_index("obstacle"),
+            p_Bb=np.array([-np.sin(qc), 0.0, -np.cos(qc)]), radius_b=0.10,
+        )
+        # Sphere-capsule: zero-length segment on body A.
+        from drake_tpu.planning.cspace_free import CapsulePair
+
+        cap = CapsulePair(
+            body_a=model.body_index("link"),
+            p_Aa0=np.array([0.0, 0.0, -1.0]),
+            p_Aa1=np.array([0.0, 0.0, -1.0]),
+            radius_a=0.05,
+            body_b=model.body_index("obstacle"),
+            p_Bb0=np.array([-np.sin(qc), 0.0, -np.cos(qc) - 0.3]),
+            p_Bb1=np.array([-np.sin(qc), 0.0, -np.cos(qc) + 0.3]),
+            radius_b=0.10,
+        )
+        ok, results = certify_cspace_polytope(
+            rfk, [sph, cap],
+            C=np.array([[1.0], [-1.0]]), d=np.array([0.15, 0.15]),
+        )
+        assert ok, results
