@@ -313,6 +313,12 @@ class Material:
     # texture) blending `diffuse` with `checker_color` per cell.
     checker_scale: float = 0.0
     checker_color: Tuple[float, float, float] = (0.2, 0.2, 0.2)
+    # FILE/IMAGE texture (render_material.h diffuse_map role): an
+    # (H, W, 3) array in [0, 1] or a file path (loaded via PIL) — sampled
+    # with a tiling world-xy planar projection at `texture_scale`
+    # tiles/meter.  Overrides diffuse/checker where set.
+    texture: object = None
+    texture_scale: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -410,6 +416,27 @@ def render_rgb(
     cell = jnp.floor(p_hit[..., 0] * scale) + jnp.floor(p_hit[..., 1] * scale)
     checker_on = (scale[...] > 0) & (jnp.mod(cell, 2.0) == 0.0)
     base = jnp.where(checker_on[..., None], chk_col[lbl], base)
+    # Image textures (file or array), planar world-xy projection.
+    for ti_mat, m in enumerate(materials):
+        if m.texture is None:
+            continue
+        tex = m.texture
+        if isinstance(tex, str):
+            from PIL import Image
+
+            tex = (
+                np.asarray(Image.open(tex).convert("RGB"), np.float32)
+                / 255.0
+            )
+        tex = jnp.asarray(tex, dtype)
+        th, tw = tex.shape[0], tex.shape[1]
+        uu = jnp.mod(p_hit[..., 0] * m.texture_scale, 1.0)
+        vv = jnp.mod(p_hit[..., 1] * m.texture_scale, 1.0)
+        ri = jnp.clip((vv * th).astype(jnp.int32), 0, th - 1)
+        cj = jnp.clip((uu * tw).astype(jnp.int32), 0, tw - 1)
+        base = jnp.where(
+            (res.label == ti_mat)[..., None], tex[ri, cj], base
+        )
 
     def soft_shadow(p0, ldir):
         """Sphere-traced occlusion toward the light (1 = unoccluded)."""

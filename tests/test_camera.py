@@ -217,3 +217,56 @@ class TestTriangleRaycast:
         np.testing.assert_allclose(
             float(res.depth[16, 16]), 1.35, atol=2e-2
         )
+
+
+class TestFileTextures:
+    """Image/file textures (render_material.h diffuse_map role): planar
+    world-xy tiling projection, array or PNG-file source."""
+
+    def test_array_texture_on_ground(self):
+        # 2x2 texture: left half red, right half green, 1 tile/meter.
+        tex = np.zeros((2, 2, 3), np.float32)
+        tex[:, 0] = [1.0, 0.0, 0.0]
+        tex[:, 1] = [0.0, 1.0, 0.0]
+        geoms = [
+            CollisionGeometry(name="ground", body=-1, shape=sh.HalfSpace()),
+        ]
+        mats = [camera.Material(texture=tex, texture_scale=1.0,
+                                specular=0.0)]
+        cam = camera.CameraInfo(width=32, height=32, fov_y=0.8)
+        X = camera.look_at((0.25, 0.5, 1.2), (0.25, 0.5, 0.0),
+                           up=(0.0, 1.0, 0.0))
+        lights = (camera.DirectionalLight((0.0, 0.0, 1.0)),)
+        rgb, res = camera.render_rgb(
+            geoms, cam, X, mats, lights=lights, shadows=False)
+        rgb = np.asarray(rgb)
+        hits = np.asarray(res.label) == 0
+        assert hits.sum() > 100
+        # Both texture texels appear; red and green pixels both present.
+        red = (rgb[..., 0] > rgb[..., 1]) & hits
+        green = (rgb[..., 1] > rgb[..., 0]) & hits
+        assert red.sum() > 30 and green.sum() > 30, (red.sum(), green.sum())
+
+    def test_png_file_texture(self, tmp_path):
+        from PIL import Image
+
+        tex = np.zeros((4, 4, 3), np.uint8)
+        tex[:, :2] = [255, 0, 0]
+        tex[:, 2:] = [0, 0, 255]
+        path = str(tmp_path / "tex.png")
+        Image.fromarray(tex).save(path)
+        geoms = [
+            CollisionGeometry(name="ground", body=-1, shape=sh.HalfSpace()),
+        ]
+        mats = [camera.Material(texture=path, texture_scale=1.0,
+                                specular=0.0)]
+        cam = camera.CameraInfo(width=24, height=24, fov_y=0.8)
+        X = camera.look_at((0.25, 0.5, 1.2), (0.25, 0.5, 0.0),
+                           up=(0.0, 1.0, 0.0))
+        rgb, res = camera.render_rgb(
+            geoms, cam, X, mats, shadows=False)
+        rgb = np.asarray(rgb)
+        hits = np.asarray(res.label) == 0
+        red = (rgb[..., 0] > rgb[..., 2]) & hits
+        blue = (rgb[..., 2] > rgb[..., 0]) & hits
+        assert red.sum() > 20 and blue.sum() > 20
