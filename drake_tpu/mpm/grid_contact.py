@@ -72,6 +72,14 @@ class GridContactParams:
     # lock-step to the slowest lane's iteration count.  The converged
     # while_loop stays the default for single-stream accuracy.
     unroll_iterations: int = 0
+    # Contact-row compaction capacity for the tile-hosted solve
+    # (tiles_contact.py): per-pair gradient/Hessian and line-search work
+    # runs on at most this many CONTACT-ACTIVE slab rows instead of every
+    # padded row (the reference's contact-pair compaction role,
+    # cuda_mpm_model.cuh:209-224 device contact-pair buffers).  0 = auto
+    # (max(512, nrows // 8)); overflow beyond the capacity is REPORTED
+    # through `dropped`, never silent.
+    max_contact_rows: int = 0
 
 
 class GridContactSolution(NamedTuple):
@@ -127,6 +135,26 @@ def _contact_grad_hess(p: GridContactParams, dt, phi0, n, v_rel, active):
     nnT = n[..., :, None] * n[..., None, :]
     H = hn[..., None, None] * nnT + hf[..., None, None] * (eye - nnT)
     return g, H, f_n
+
+
+def _contact_grad(p: GridContactParams, dt, phi0, n, v_rel, active):
+    """Gradient-only variant of _contact_grad_hess (the line search needs
+    no Hessian; skipping it halves the per-alpha FLOPs and drops the
+    (..., 3, 3) temporaries)."""
+    k, d, mu, eps = p.stiffness, p.damping, p.friction, p.slip_velocity
+    vn = jnp.sum(v_rel * n, axis=-1)
+    vt = v_rel - vn[..., None] * n
+    phi_hat = phi0 + dt * vn
+    pen = jnp.maximum(-phi_hat, 0.0)
+    act = active & (phi_hat < 0.0)
+    actf = act.astype(v_rel.dtype)
+    f_n = actf * jnp.maximum(k * pen - d * vn, 0.0)
+    vt_norm = jnp.linalg.norm(vt, axis=-1)
+    inv_slip = 1.0 / jnp.maximum(vt_norm, eps)
+    return (
+        (-dt * f_n)[..., None] * n
+        + (dt * mu * f_n * inv_slip)[..., None] * vt
+    )
 
 
 def _ls_dcost_pairs(p: GridContactParams, dt, phi0, n, v_rel, dvp, active):

@@ -35,7 +35,11 @@ import numpy as np
 from drake_tpu.mpm import solver as mpm
 from drake_tpu.mpm import tiles
 from drake_tpu.mpm.coupling import RigidGeom, _particle_sdf
-from drake_tpu.mpm.grid_contact import GridContactParams, _contact_grad_hess
+from drake_tpu.mpm.grid_contact import (
+    GridContactParams,
+    _contact_grad,
+    _contact_grad_hess,
+)
 from drake_tpu.mpm.tiles import (
     TS,
     SortedMpm,
@@ -194,6 +198,27 @@ def solve_contact_tiles(
     # slab row — zero-padded rows sit at the origin and must not contact.
     active0 = (phi0 < params.margin) & (vmf > 0)[None, :]
 
+    # CONTACT-ROW COMPACTION (the reference's contact-pair buffer role,
+    # cuda_mpm_model.cuh:209-224): per-pair gradient/Hessian and the
+    # K-point line search run on at most C_p contact-active rows instead
+    # of every padded slab row — on a typical scene only a thin surface
+    # layer is in contact, so this is the dominant per-iteration saving.
+    # Overflow beyond C_p is counted and REPORTED (never silent).
+    act_any = jnp.any(active0, axis=0)  # (nrows,)
+    C_p = params.max_contact_rows or max(512, nrows // 8)
+    C_p = min(C_p, nrows)
+    rows_c = jnp.nonzero(act_any, size=C_p, fill_value=nrows)[0]
+    valid_c = rows_c < nrows
+    rc = jnp.minimum(rows_c, nrows - 1)
+    over_rows = jnp.maximum(
+        jnp.sum(act_any.astype(jnp.int32)) - C_p, 0
+    ).astype(jnp.int32)
+    phi0_c = phi0[:, rc]  # (G, C_p)
+    n_c = n_pg[:, rc]  # (G, C_p, 3)
+    vg_c = v_g[:, rc]
+    act_c = active0[:, rc] & valid_c[None, :]
+    x_c = x_rows[rc]
+
     m_blk = windows_to_center(win_mm[:, 0:1, :])[:, 0, :]  # (Ae, 64)
     v_star = windows_to_center(win_v_star)  # (Ae, 3, 64)
 
@@ -228,20 +253,36 @@ def solve_contact_tiles(
         tot = _window_overlap_add(rows, nbr_idx)  # true per-node totals
         return windows_to_center(tot)  # (Ae, c, 64)
 
+    def expand_rows(vals_c):
+        """(C_p,) compacted channel -> (nrows,) full-row plane."""
+        return (
+            jnp.zeros((nrows,), dtype)
+            .at[rc]
+            .add(jnp.where(valid_c, vals_c, 0.0))
+        )
+
     def pair_grad(v_blk):
-        vp = gather_vp(v_blk)
-        v_rel = vp[None] - v_g  # (G, nrows, 3)
-        g, H, _ = _contact_grad_hess(params, dt, phi0, n_pg, v_rel, active0)
-        return vp, g, H
+        vp = gather_vp(v_blk)  # (nrows, 3) — MXU tile gather, keep full
+        vp_c = vp[rc]  # (C_p, 3)
+        v_rel = vp_c[None] - vg_c  # (G, C_p, 3)
+        g, H, _ = _contact_grad_hess(params, dt, phi0_c, n_c, v_rel, act_c)
+        return vp_c, g, H
 
     def body(carry):
         v, it, res = carry  # v: (Ae, 3, 64)
         vp0, g, H = pair_grad(v)
-        g_p = jnp.sum(g, axis=0)  # (nrows, 3)
-        H_p = jnp.sum(H, axis=0)  # (nrows, 3, 3)
-        g_blk = scatter_center([g_p[:, i] for i in range(3)])  # (Ae,3,64)
+        g_p = jnp.sum(g, axis=0)  # (C_p, 3)
+        H_p = jnp.sum(H, axis=0)  # (C_p, 3, 3)
+        g_blk = scatter_center(
+            [expand_rows(g_p[:, i]) for i in range(3)]
+        )  # (Ae,3,64)
         H_blk = scatter_center(
-            [H_p[:, i, j] for i in range(3) for j in range(3)], sq=True
+            [
+                expand_rows(H_p[:, i, j])
+                for i in range(3)
+                for j in range(3)
+            ],
+            sq=True,
         )  # (Ae, 9, 64)
         grid_g = m_blk[:, None, :] * (v - v_star) + g_blk
         Hm = [
@@ -266,16 +307,17 @@ def solve_contact_tiles(
         ) * movable  # (Ae, 3, 64)
 
         # Global exact line search on dE/dalpha (grid_contact.py:246-281,
-        # same two-level K-point bracket + secant).
-        dvp = gather_vp(dirn)
+        # same two-level K-point bracket + secant) — per-alpha pair work
+        # is GRADIENT-ONLY on the compacted contact rows.
+        dvp = gather_vp(dirn)[rc]  # (C_p, 3)
         a0 = jnp.sum(dirn * (m_blk[:, None, :] * (v - v_star)))
         a1 = jnp.sum(dirn * (m_blk[:, None, :] * dirn))
 
         def f(alphas):
             vr = (vp0[None] + alphas[:, None, None] * dvp[None])[:, None]
-            vr = vr - v_g[None]
-            g_a, _, _ = _contact_grad_hess(
-                params, dt, phi0[None], n_pg[None], vr, active0[None]
+            vr = vr - vg_c[None]
+            g_a = _contact_grad(
+                params, dt, phi0_c[None], n_c[None], vr, act_c[None]
             )
             return a0 + alphas * a1 + jnp.einsum("kgni,ni->k", g_a, dvp)
 
@@ -330,16 +372,16 @@ def solve_contact_tiles(
         v_sol, it, res = jax.lax.while_loop(cond, body, init)
 
     # Rigid reaction impulses at the solution (cuda_mpm_kernels.cuh:1617).
-    vp = gather_vp(v_sol)
-    v_rel = vp[None] - v_g
-    g_final, _, _ = _contact_grad_hess(params, dt, phi0, n_pg, v_rel, active0)
+    vp_c = gather_vp(v_sol)[rc]
+    v_rel = vp_c[None] - vg_c
+    g_final = _contact_grad(params, dt, phi0_c, n_c, v_rel, act_c)
     imp_lin = jnp.sum(g_final, axis=1)  # (G, 3)
-    levers = x_rows[None] - jnp.stack([g.p_WB for g in geoms])[:, None]
+    levers = x_c[None] - jnp.stack([g.p_WB for g in geoms])[:, None]
     imp_tau = jnp.sum(jnp.cross(levers, g_final), axis=1)
     impulses = jnp.concatenate([imp_tau, imp_lin], axis=-1)
 
     win_v_sol = blocks_to_windows(v_sol, nbr_idx)
-    return win_v_sol, impulses, it, res
+    return win_v_sol, impulses, it, res, over_rows
 
 
 def resident_substep_contact(
@@ -379,14 +421,14 @@ def resident_substep_contact(
             jnp.zeros((0, 6), ss.slab.dtype),
         )
 
-    win_v_sol, impulses, _, _ = solve_contact_tiles(
+    win_v_sol, impulses, _, _, over_rows = solve_contact_tiles(
         config, params, ss_ext, ctx, geoms, nbr_idx, win_mm, win_v
     )
     new_ss = g2p_finish(config, ss_ext, ctx, win_v_sol)
     return (
         new_ss.replace(
             active=ss.active, a_of_tile=ss.a_of_tile,
-            dropped=new_ss.dropped + over,
+            dropped=new_ss.dropped + over + over_rows,
         ),
         impulses,
     )
