@@ -149,6 +149,29 @@ def build_rollout(batch=1024, mpc_steps=30, on_cpu=False, dtype=None):
     )
     light_options = ilqr.IlqrOptions(use_jacrev=True, rti=True)
 
+    # Round-5 EVENT-TRIGGERED plan guard (the lever the round-4 sweep never
+    # tried): when a solve's OWN predicted rollout carries the box PAST the
+    # goal by > 10 cm along the push direction, that plan's torque deviation
+    # (about gravity compensation) is scaled by 0.5 — per-lane, vectorized,
+    # zero throughput cost.  Measured (headline_quality_sweep --guard
+    # overshoot, same session as the 900/1024 baseline): 900 -> 947/1024
+    # progressing, median err 0.103 -> 0.083, smashes 65 -> 9, solves/s
+    # unchanged (1061.4 -> 1060.9).  Full frontier in BASELINE.md.
+    guard_gamma = 0.5
+    guard_overshoot = 0.10
+
+    def plan_guard(xs_plan, us_plan):
+        b0 = xs_plan[0, nq - 3 : nq - 1]
+        d0 = box_goal - b0
+        dir0 = d0 / (jnp.linalg.norm(d0) + 1e-6)
+        along = jnp.einsum(
+            "ti,i->t", xs_plan[:, nq - 3 : nq - 1] - box_goal, dir0
+        )
+        scale = jnp.where(
+            jnp.max(along) > guard_overshoot, guard_gamma, 1.0
+        )
+        return tau_g[None] + scale * (us_plan - tau_g[None])
+
     def scenario(x):
         return mpc.ilqr_mpc_rollout(
             dsys_plan.g, running_cost, final_cost, params, x, us0, mpc_steps,
@@ -159,6 +182,7 @@ def build_rollout(batch=1024, mpc_steps=30, on_cpu=False, dtype=None):
             # Round-3: catches finite-but-diverged f32 lanes (|x| ~ 1e16
             # without a NaN) that the isfinite lane guard misses.
             x_bound=50.0,
+            plan_guard=plan_guard,
         )
 
     key = jax.random.PRNGKey(0)
