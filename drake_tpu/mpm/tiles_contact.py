@@ -201,23 +201,42 @@ def solve_contact_tiles(
     # CONTACT-ROW COMPACTION (the reference's contact-pair buffer role,
     # cuda_mpm_model.cuh:209-224): per-pair gradient/Hessian and the
     # K-point line search run on at most C_p contact-active rows instead
-    # of every padded slab row — on a typical scene only a thin surface
-    # layer is in contact, so this is the dominant per-iteration saving.
-    # Overflow beyond C_p is counted and REPORTED (never silent).
-    act_any = jnp.any(active0, axis=0)  # (nrows,)
-    C_p = params.max_contact_rows or max(512, nrows // 8)
-    C_p = min(C_p, nrows)
-    rows_c = jnp.nonzero(act_any, size=C_p, fill_value=nrows)[0]
-    valid_c = rows_c < nrows
-    rc = jnp.minimum(rows_c, nrows - 1)
-    over_rows = jnp.maximum(
-        jnp.sum(act_any.astype(jnp.int32)) - C_p, 0
-    ).astype(jnp.int32)
-    phi0_c = phi0[:, rc]  # (G, C_p)
-    n_c = n_pg[:, rc]  # (G, C_p, 3)
-    vg_c = v_g[:, rc]
-    act_c = active0[:, rc] & valid_c[None, :]
-    x_c = x_rows[rc]
+    # of every padded slab row.  OPT-IN (max_contact_rows > 0, -1 = auto):
+    # measured on TPU at K=64 vmapped rollouts the batched dynamic
+    # gathers/scatters it introduces cost MORE than the padded-row
+    # arithmetic they save (120.9 vs 153.1 substeps/s, BASELINE.md round
+    # 5), so the default stays on full rows; unbatched / large-scene
+    # single-stream solves are where the compaction pays.
+    compact = params.max_contact_rows != 0
+    if compact:
+        act_any = jnp.any(active0, axis=0)  # (nrows,)
+        C_p = (
+            params.max_contact_rows
+            if params.max_contact_rows > 0
+            else max(512, nrows // 8)
+        )
+        C_p = min(C_p, nrows)
+        rows_c = jnp.nonzero(act_any, size=C_p, fill_value=nrows)[0]
+        valid_c = rows_c < nrows
+        rc = jnp.minimum(rows_c, nrows - 1)
+        over_rows = jnp.maximum(
+            jnp.sum(act_any.astype(jnp.int32)) - C_p, 0
+        ).astype(jnp.int32)
+        phi0_c = phi0[:, rc]  # (G, C_p)
+        n_c = n_pg[:, rc]  # (G, C_p, 3)
+        vg_c = v_g[:, rc]
+        act_c = active0[:, rc] & valid_c[None, :]
+        x_c = x_rows[rc]
+
+        def take_rows(a):
+            return a[rc]
+
+    else:
+        over_rows = jnp.zeros((), jnp.int32)
+        phi0_c, n_c, vg_c, act_c, x_c = phi0, n_pg, v_g, active0, x_rows
+
+        def take_rows(a):
+            return a
 
     m_blk = windows_to_center(win_mm[:, 0:1, :])[:, 0, :]  # (Ae, 64)
     v_star = windows_to_center(win_v_star)  # (Ae, 3, 64)
@@ -255,6 +274,8 @@ def solve_contact_tiles(
 
     def expand_rows(vals_c):
         """(C_p,) compacted channel -> (nrows,) full-row plane."""
+        if not compact:
+            return vals_c
         return (
             jnp.zeros((nrows,), dtype)
             .at[rc]
@@ -263,7 +284,7 @@ def solve_contact_tiles(
 
     def pair_grad(v_blk):
         vp = gather_vp(v_blk)  # (nrows, 3) — MXU tile gather, keep full
-        vp_c = vp[rc]  # (C_p, 3)
+        vp_c = take_rows(vp)  # (C_p, 3)
         v_rel = vp_c[None] - vg_c  # (G, C_p, 3)
         g, H, _ = _contact_grad_hess(params, dt, phi0_c, n_c, v_rel, act_c)
         return vp_c, g, H
@@ -309,7 +330,7 @@ def solve_contact_tiles(
         # Global exact line search on dE/dalpha (grid_contact.py:246-281,
         # same two-level K-point bracket + secant) — per-alpha pair work
         # is GRADIENT-ONLY on the compacted contact rows.
-        dvp = gather_vp(dirn)[rc]  # (C_p, 3)
+        dvp = take_rows(gather_vp(dirn))  # (C_p, 3)
         a0 = jnp.sum(dirn * (m_blk[:, None, :] * (v - v_star)))
         a1 = jnp.sum(dirn * (m_blk[:, None, :] * dirn))
 
@@ -372,7 +393,7 @@ def solve_contact_tiles(
         v_sol, it, res = jax.lax.while_loop(cond, body, init)
 
     # Rigid reaction impulses at the solution (cuda_mpm_kernels.cuh:1617).
-    vp_c = gather_vp(v_sol)[rc]
+    vp_c = take_rows(gather_vp(v_sol))
     v_rel = vp_c[None] - vg_c
     g_final = _contact_grad(params, dt, phi0_c, n_c, v_rel, act_c)
     imp_lin = jnp.sum(g_final, axis=1)  # (G, 3)

@@ -169,3 +169,30 @@ class TestCoupledWorldTiled:
             atol=1e-4,
         )
         assert int(out_t.particles.dropped) == 0
+
+
+class TestContactRowCompaction:
+    def test_compacted_solve_matches_full_rows(self):
+        """Opt-in contact-row compaction (max_contact_rows=-1 auto) is
+        bit-compatible with the full-row tile solve within f32 tolerance,
+        and reports zero overflow when the capacity holds."""
+        cfg, state = _block_on_ground()
+        state = state.replace(v=state.v.at[:, 0].add(0.15))
+        geoms = (_ground(),)
+        p_full = gc.GridContactParams(
+            stiffness=5e5, damping=500.0, friction=0.5
+        )
+        p_comp = gc.GridContactParams(
+            stiffness=5e5, damping=500.0, friction=0.5,
+            max_contact_rows=-1,
+        )
+        n = 40
+        sf, accf = _run_tiled(cfg, p_full, state, geoms, n)
+        sc, accc = _run_tiled(cfg, p_comp, state, geoms, n)
+        np.testing.assert_allclose(
+            np.asarray(sc.x), np.asarray(sf.x), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(accc), np.asarray(accf), atol=2e-3
+        )
+        assert int(sc.dropped) == 0
