@@ -213,6 +213,18 @@ class CollisionScene:
                         jnp.stack([e[0] for e in entries]),
                         jnp.stack([e[1] for e in entries]),
                         jnp.stack([e[2] for e in entries]),
+                        # Hydro rows carry a per-point area weight in
+                        # slot 3 — it must survive the cond (dropping it
+                        # silently turns patch quadrature into full-
+                        # stiffness point rows).
+                        jnp.stack(
+                            [
+                                jnp.asarray(
+                                    e[3] if len(e) == 4 else 1.0, dtype
+                                )
+                                for e in entries
+                            ]
+                        ),
                     )
 
                 def culled(_):
@@ -222,11 +234,13 @@ class CollisionScene:
                         jnp.tile(
                             jnp.asarray([0.0, 0.0, 1.0], dtype)[None], (m, 1)
                         ),
+                        jnp.ones((m,), dtype),
                     )
 
-                phi_g, p_g, n_g = jax.lax.cond(ok, compute, culled, 0)
+                phi_g, p_g, n_g, ks_g = jax.lax.cond(ok, compute, culled, 0)
                 contacts = [
-                    (phi_g[k2], p_g[k2], n_g[k2]) for k2 in range(m)
+                    (phi_g[k2], p_g[k2], n_g[k2], ks_g[k2])
+                    for k2 in range(m)
                 ]
             else:
                 contacts = _pair_contacts(ga, Ra, pa, gb, Rb, pb, dtype)
