@@ -32,6 +32,12 @@ parser.add_argument("--max-iters", type=int, default=0,
 parser.add_argument("--ls-points", type=int, default=0,
                     help="with --implicit: exact line-search bracket points "
                          "(0 = default 12)")
+parser.add_argument("--ls-levels", type=int, default=0,
+                    help="with --implicit: bracket refinement passes "
+                         "(0 = default 2; 1 = single-level + secant)")
+parser.add_argument("--ext-factor", type=int, default=0,
+                    help="with --implicit: closure capacity factor "
+                         "(0 = default 4)")
 parser.add_argument(
     "--unroll", type=int, default=0,
     help="with --implicit: fixed-iteration Newton (rollout fast path, "
@@ -103,9 +109,14 @@ def main():
                 unroll_iterations=args.unroll,
                 max_iterations=args.max_iters or 20,
                 line_search_points=args.ls_points or 12,
+                line_search_levels=args.ls_levels or 2,
+                # Scene-sized closure capacity (round-5 measured lever:
+                # 153 -> 564 substeps/s; the per-iteration window ops
+                # scale with it).  Overflow would show as dropped > 0,
+                # asserted below — never silent.
+                ext_capacity_factor=args.ext_factor or 1,
             )
             if args.implicit
-            and (args.unroll or args.max_iters or args.ls_points)
             else None
         ),
     )

@@ -64,7 +64,16 @@ class GridContactParams:
     rel_tolerance: float = 1e-4  # ||dir|| / #active-dofs (reference :236)
     relax: float = 1.0
     line_search_points: int = 12
+    # Bracket refinement passes: 2 = the committed two-level grid; 1 runs a
+    # single K-point pass + secant (13 pair-gradient evals per Newton
+    # iteration instead of 25 — the throughput lever for batched rollouts).
+    line_search_levels: int = 2
     alpha_max: float = 1.5
+    # Extended-active-list capacity factor for the tile-hosted solve
+    # (tiles_contact.resident_substep_contact): closure capacity =
+    # factor * max_active_blocks.  Every per-node Newton array scales with
+    # it; overflow is REPORTED through `dropped`, never silent.
+    ext_capacity_factor: int = 4
     # Planning/rollout fast path (the SapParameters.unroll_iterations
     # analog): when > 0, run EXACTLY this many Newton iterations as a
     # fixed-length scan with a single-level line search — no while_loop,

@@ -352,8 +352,12 @@ def solve_contact_tiles(
             ip = jnp.minimum(i + 1, K - 1)
             return alphas[i], alphas[ip], fs[i], fs[ip]
 
-        lo1, hi1, _, _ = refine(jnp.asarray(0.0, dtype), amax)
-        lo2, hi2, flo, fhi = refine(lo1, hi1)
+        if params.line_search_levels >= 2:
+            lo1, hi1, _, _ = refine(jnp.asarray(0.0, dtype), amax)
+            lo2, hi2, flo, fhi = refine(lo1, hi1)
+        else:
+            # Single-level bracket + secant: 13 pair evals instead of 25.
+            lo2, hi2, flo, fhi = refine(jnp.asarray(0.0, dtype), amax)
         denom = fhi - flo
         alpha = lo2 - flo * (hi2 - lo2) / jnp.where(
             jnp.abs(denom) > 1e-20, denom, 1.0
@@ -423,7 +427,7 @@ def resident_substep_contact(
     """
     A = config.max_active_blocks
     if ext_capacity is None:
-        ext_capacity = 4 * A
+        ext_capacity = params.ext_capacity_factor * A
     ext, smap, over = _extend_active(config, ss.active, ext_capacity)
     ss_ext = ss.replace(active=ext, a_of_tile=smap[ss.a_of_tile])
 

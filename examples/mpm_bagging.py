@@ -30,9 +30,15 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="")
     ap.add_argument(
-        "--implicit", action="store_true",
+        "--implicit", dest="implicit", action="store_true", default=True,
         help="route cloth-rigid contact through the implicit grid-contact "
-             "Newton (mpm/grid_contact.py) instead of the explicit penalty",
+             "Newton (mpm/grid_contact.py) — the DEFAULT since round 5 "
+             "(the stiction-capable path now runs 3.7x faster than round "
+             "4; BASELINE.md round-5 implicit campaign)",
+    )
+    ap.add_argument(
+        "--penalty", dest="implicit", action="store_false",
+        help="explicit per-particle penalty contact instead",
     )
     args = ap.parse_args()
 
