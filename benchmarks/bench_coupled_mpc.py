@@ -30,6 +30,14 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--scenarios", type=int, default=0, help="0 = default")
 parser.add_argument("--samples", type=int, default=0)
 parser.add_argument("--steps", type=int, default=0)
+parser.add_argument(
+    "--chunk", type=int, default=0,
+    help="scenarios per call (0 = default 1 on TPU): the nested-vmap "
+    "MPPI-through-coupled-dynamics program trips the TPU-runtime "
+    "vmapped-solver worker fault (BASELINE.md round 4) at 64 lanes "
+    "AND at 8x8; sequential 1-scenario chunks (8 MPPI lanes — the "
+    "known-good scale) dodge it with ONE compile",
+)
 args = parser.parse_args()
 
 if __name__ == "__main__":
@@ -56,7 +64,7 @@ def main():
     cpu = _harness.on_cpu()
     B = args.scenarios or (2 if cpu else 32)
     M = args.samples or (4 if cpu else 8)
-    steps = args.steps or (3 if cpu else 20)
+    steps = args.steps or (3 if cpu else 50)
 
     b = ModelBuilder(gravity=(0.0, 0.0, -9.81))
     b.add_body(
@@ -136,11 +144,24 @@ def main():
     )  # +-2 cm blob start spread
     keys = jax.random.split(jax.random.PRNGKey(1), B)
 
+    chunk = args.chunk or (B if cpu else 1)
+    chunk = min(chunk, B)
+    assert B % chunk == 0, (B, chunk)
     rollout = jax.jit(jax.vmap(scenario))
-    cx, fin = rollout(dx0s, keys)
+
+    def run_all(dx, ks):
+        outs = [
+            rollout(dx[i : i + chunk], ks[i : i + chunk])
+            for i in range(0, B, chunk)
+        ]
+        cx = jnp.concatenate([o[0] for o in outs])
+        fin = jnp.concatenate([o[1] for o in outs])
+        return cx, fin
+
+    cx, fin = run_all(dx0s, keys)
     float(cx.sum())  # warm + sync
     t0 = time.perf_counter()
-    cx, fin = rollout(dx0s + 1e-6, keys)
+    cx, fin = run_all(dx0s + 1e-6, keys)
     float(cx.sum())
     wall = time.perf_counter() - t0
 
@@ -155,8 +176,8 @@ def main():
         + (", CPU FALLBACK" if cpu else "") + ")",
         solves,
         "solves/s",
-        # Round-5 first committed measurement (this harness) = baseline.
-        12.4,
+        # Round-5 committed measurement (this config) = the baseline.
+        2.3,
     )
 
 
