@@ -152,12 +152,12 @@ def build_rollout(batch=1024, mpc_steps=30, on_cpu=False, dtype=None):
     # Round-5 EVENT-TRIGGERED plan guard (the lever the round-4 sweep never
     # tried): when a solve's OWN predicted rollout carries the box PAST the
     # goal by > 10 cm along the push direction, that plan's torque deviation
-    # (about gravity compensation) is scaled by 0.5 — per-lane, vectorized,
+    # (about gravity compensation) is scaled by 0.3 — per-lane, vectorized,
     # zero throughput cost.  Measured (headline_quality_sweep --guard
-    # overshoot, same session as the 900/1024 baseline): 900 -> 947/1024
-    # progressing, median err 0.103 -> 0.083, smashes 65 -> 9, solves/s
-    # unchanged (1061.4 -> 1060.9).  Full frontier in BASELINE.md.
-    guard_gamma = 0.5
+    # overshoot, same session as the 900/1024 baseline): 900 -> 964/1024
+    # progressing (94.1%), median err 0.103 -> 0.087, smashes 65 -> 4,
+    # solves/s unchanged (1061.4 -> 1060.8).  Full frontier in BASELINE.md.
+    guard_gamma = 0.3
     guard_overshoot = 0.10
 
     def plan_guard(xs_plan, us_plan):
